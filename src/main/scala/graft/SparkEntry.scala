@@ -1,13 +1,352 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity, TextStats}
+import graft.pipeline.Extract
+import graft.schema.Ontology
+import graft.synth.Corpus
+
+/** Driver contract — one `queries` entry per implemented operator family
+  * (SURVEY.md §2), each with a DuckDB-equivalent `oracleSql` where the op is
+  * SQL-expressible. Column names and value rounding are aligned on both
+  * sides (the driver hash-compares after sorting columns by name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: the two-turn KG extraction pipeline over the deterministic
+    * synthetic page corpus (FIXTURES.md) — driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Extract.triples(Corpus.pages(spark, 600, seed = 42, noisyFrac = 0.02).toDF()).toDF()
+
+  // 4-row turn-1 question dim (J1) and 16-row (subject_type, relation) dim (J2)
+  private def subjectDim(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Ontology.subject2question.keys.toSeq.toDF("subject_type")
+  }
+  private def relationDim(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Ontology.questionTurn.toSeq
+      .flatMap { case (st, rels) => rels.map(r => (st, r)) }
+      .toDF("subject_type", "relation")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------------------------------------------------------- scans/aggs
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 2).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+    "q3_order_revenue" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_nationkey") < 10)
+      val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1995-03-15"))
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1995-03-15"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
+    "q5_nation_revenue" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
+        .groupBy("n_name")
+        .agg(round(sum("o_totalprice"), 2).as("rev"), count(lit(1)).as("cnt"))
+    }),
+    // ---------------------------------------------------------------- filters
+    "f1_length_gate" -> ((s, dir) =>
+      t(s, dir, "documents").filter(length(col("text")) < 300)
+        .select("doc_id", "n_chars")),
+    "f2_keyword_exclusion" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(length(col("text")) > 0 &&
+          !col("text").contains("vector") && !col("text").contains("stream"))
+        .select("doc_id")),
+    // ---------------------------------------------------------------- strings
+    "t1_clean_chain" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(regexp_replace(regexp_replace(
+          col("text"), "[(]", "（"), ",", "，"), "[#*\\s]{2,}", "-").as("cleaned"))),
+    "t2_translate" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        translate(col("text"), "aeiou", "12345").as("tr"))),
+    "t6_t7_locate_slice" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        (locate("table", col("text")) - 1).as("pos"),
+        substring(col("text"), 3, 8).as("slice"))),
+    // ---------------------------------------------------------------- joins/fanouts
+    "j1_question_expansion" -> ((s, dir) =>
+      t(s, dir, "documents").select("doc_id").crossJoin(broadcast(subjectDim(s)))),
+    "j2_relation_fanout" -> ((s, dir) => {
+      val typed = t(s, dir, "documents").select(col("doc_id"),
+        element_at(
+          array(lit("Mass"), lit("Lymph"), lit("Pleura"), lit("Effusion")),
+          (col("doc_id") % 4).cast("int") + 1).as("subject_type"))
+      typed.join(broadcast(relationDim(s)), "subject_type")
+        .select("doc_id", "subject_type", "relation")
+    }),
+    "j3_distinct_dedup" -> ((s, dir) =>
+      t(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()),
+    "j5_semi_join" -> ((s, dir) => {
+      val rich = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+      t(s, dir, "orders")
+        .join(rich, col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_custkey")
+    }),
+    "j7_anti_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey")),
+    "j6_all_match_flag" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy("o_custkey")
+        .agg(min(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("all_f"))),
+    // ---------------------------------------------------------------- aggs/metrics
+    "a1_metric_counters" -> ((s, dir) =>
+      t(s, dir, "events").groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum("value"), 2).as("sum_value"),
+          countDistinct("user_id").as("num_users"))),
+    "a2_pr_arithmetic" -> ((s, dir) => {
+      val base = t(s, dir, "events").groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("value") > 0.5, 1L).otherwise(0L)).as("tp"))
+      base.select(col("event_type"), col("cnt"), col("tp"),
+        when(col("cnt") =!= 0, round(col("tp").cast("double") / col("cnt"), 4))
+          .otherwise(lit(0.0)).as("precision"))
+    }),
+    "o7_mod_split" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy((col("doc_id") % 5).as("bucket"))
+        .agg(count(lit(1)).as("n"))),
+    // ---------------------------------------------------------------- windows
+    "w1_first_event_per_user" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "event_type")
+    }),
+    "w2_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev", lag(unix_timestamp(col("ts")), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull || unix_timestamp(col("ts")) - col("prev") > 1800, 1L)
+            .otherwise(0L))
+        .groupBy("user_id").agg(sum("new_sess").as("sessions"))
+    }),
+    // ---------------------------------------------------------------- text analysis
+    "text_token_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("tokens"),
+        round(TextStats.meanWordLen(col("text")), 4).as("mean_word_len"))),
+    "text_lang_guess" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"), TextStats.langGuess(col("text")).as("guess"))
+        .agg(count(lit(1)).as("n"))),
+    // ---------------------------------------------------------------- dedup
+    "dedup_exact_groups" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(lower(regexp_replace(col("text"), "\\s+", " ")).as("norm"))
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("group_size"))),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text",
+        n = 8, threshold = 0.1)),
+    // ---------------------------------------------------------------- graph
+    "cc_chain_components" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val edges = ids.filter(col("doc_id") % 10 < 9)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      graft.link.ConnectedComponents.run(edges)
+    }),
+    // ---------------------------------------------------------------- similarity
+    "ann_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        .withColumn("score", round(col("score"), 4))
+    }),
+    // -------------------------------------------------- non-SQL-expressible (rows-only)
+    "lsh_minhash_dedup" -> ((s, dir) =>
+      Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 8, k = 16, bands = 4, threshold = 0.2)),
+    "simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 12)),
+    "lsh_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+    }),
+    "kg_extract_triples" -> ((s, dir) =>
+      Extract.triples(Corpus.pages(s, 400, seed = 42, noisyFrac = 0.0).toDF()).toDF()),
+    "kg_link_entities" -> ((s, dir) => {
+      val triples = Extract.triples(Corpus.pages(s, 300, seed = 42, noisyFrac = 0.0).toDF())
+      graft.link.Linker.canonicalTriples(triples).toDF()
+    })
+  )
+
+  /** DuckDB twins. Omitted keys (lsh_*, simhash_*, kg_*) are non-SQL-
+    * expressible (hash-seeded or mapPartitions-kernel ops) → rows-only. */
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice),2) AS sum_base_price,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+         round(avg(l_quantity),2) AS avg_qty,
+         CAST(count(*) AS BIGINT) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q3_order_revenue" ->
+      """SELECT o_orderkey,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+         JOIN customer ON o_custkey=c_custkey
+         WHERE c_nationkey < 10 AND o_orderdate < TIMESTAMP '1995-03-15'
+           AND l_shipdate > TIMESTAMP '1995-03-15'
+         GROUP BY o_orderkey""",
+    "q5_nation_revenue" ->
+      """SELECT n_name, round(sum(o_totalprice),2) AS rev,
+         CAST(count(*) AS BIGINT) AS cnt
+         FROM customer JOIN nation ON c_nationkey=n_nationkey
+         JOIN orders ON o_custkey=c_custkey
+         GROUP BY n_name""",
+    "f1_length_gate" ->
+      "SELECT doc_id, n_chars FROM documents WHERE length(text) < 300",
+    "f2_keyword_exclusion" ->
+      """SELECT doc_id FROM documents WHERE length(text) > 0
+         AND text NOT LIKE '%vector%' AND text NOT LIKE '%stream%'""",
+    "t1_clean_chain" ->
+      """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+         text, '[(]', '（', 'g'), ',', '，', 'g'), '[#*\s]{2,}', '-', 'g') AS cleaned
+         FROM documents""",
+    "t2_translate" ->
+      "SELECT doc_id, translate(text, 'aeiou', '12345') AS tr FROM documents",
+    "t6_t7_locate_slice" ->
+      """SELECT doc_id, CAST(strpos(text, 'table') - 1 AS INT) AS pos,
+         substring(text, 3, 8) AS slice FROM documents""",
+    "j1_question_expansion" ->
+      """SELECT doc_id, subject_type FROM documents
+         CROSS JOIN (VALUES ('Mass'),('Lymph'),('Pleura'),('Effusion')) q(subject_type)""",
+    "j2_relation_fanout" -> {
+      val dimRows = Ontology.questionTurn.toSeq
+        .flatMap { case (st, rels) => rels.map(r => s"('$st','$r')") }.mkString(",")
+      s"""SELECT doc_id, subject_type, relation FROM (
+          SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN 'Mass' WHEN 1 THEN 'Lymph'
+            WHEN 2 THEN 'Pleura' ELSE 'Effusion' END AS subject_type
+          FROM documents) d
+          JOIN (VALUES $dimRows) r(subject_type, relation) USING (subject_type)"""
+    },
+    "j3_distinct_dedup" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "j5_semi_join" ->
+      """SELECT o_orderkey, o_custkey FROM orders WHERE EXISTS
+         (SELECT 1 FROM customer WHERE c_custkey=o_custkey AND c_acctbal > 9000)""",
+    "j7_anti_join" ->
+      """SELECT c_custkey FROM customer WHERE NOT EXISTS
+         (SELECT 1 FROM orders WHERE o_custkey=c_custkey)""",
+    "j6_all_match_flag" ->
+      """SELECT o_custkey, CAST(min(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS all_f
+         FROM orders GROUP BY o_custkey""",
+    "a1_metric_counters" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+         round(sum(value),2) AS sum_value,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS num_users
+         FROM events GROUP BY event_type""",
+    "a2_pr_arithmetic" ->
+      """SELECT event_type, cnt, tp,
+         CASE WHEN cnt <> 0 THEN round(CAST(tp AS DOUBLE)/cnt, 4) ELSE 0.0 END AS precision
+         FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CASE WHEN value > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tp
+               FROM events GROUP BY event_type)""",
+    "o7_mod_split" ->
+      """SELECT doc_id % 5 AS bucket, CAST(count(*) AS BIGINT) AS n
+         FROM documents GROUP BY 1""",
+    "w1_first_event_per_user" ->
+      """SELECT user_id, event_id, event_type FROM (
+         SELECT user_id, event_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+         FROM events) WHERE rn = 1""",
+    "w2_sessionize" ->
+      """SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS sessions FROM (
+         SELECT user_id, CASE WHEN prev IS NULL
+             OR date_part('epoch', ts) - prev > 1800 THEN 1 ELSE 0 END AS new_sess
+         FROM (SELECT user_id, ts,
+               lag(date_part('epoch', ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM events)) GROUP BY user_id""",
+    "text_token_stats" ->
+      """SELECT doc_id,
+         CASE WHEN length(trim(text))=0 THEN 0
+              ELSE CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS tokens,
+         CASE WHEN length(trim(text))=0 THEN 0.0
+              ELSE round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                   / length(string_split_regex(trim(text), '\s+')), 4) END AS mean_word_len
+         FROM documents""",
+    "text_lang_guess" ->
+      """SELECT lang,
+         CASE WHEN length(text)=0 THEN 'unknown'
+              WHEN CAST(length(text) - length(regexp_replace(text,'[^\x00-\x7F]','','g')) AS DOUBLE)
+                   / length(text) > 0.3 THEN 'cjk'
+              ELSE 'latin' END AS guess,
+         CAST(count(*) AS BIGINT) AS n
+         FROM documents GROUP BY 1, 2""",
+    "dedup_exact_groups" ->
+      """SELECT lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm,
+         min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS group_size
+         FROM documents GROUP BY 1""",
+    "dedup_ngram_jaccard" ->
+      """WITH raw AS (
+           SELECT doc_id, unnest(list_transform(
+             range(1, greatest(length(text) - 7, 1) + 1),
+             i -> substring(text, CAST(i AS INT), 8))) AS shingle
+           FROM documents WHERE doc_id < 200),
+         sh AS (SELECT DISTINCT doc_id, shingle FROM raw WHERE length(shingle) > 0),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         shared AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+           round(CAST(shared AS DOUBLE) / (na.n_sh + nb.n_sh - shared), 4) AS jaccard
+         FROM shared
+         JOIN sizes na ON na.doc_id = id_a
+         JOIN sizes nb ON nb.doc_id = id_b
+         WHERE CAST(shared AS DOUBLE) / (na.n_sh + nb.n_sh - shared) >= 0.1""",
+    "cc_chain_components" ->
+      """WITH nodes AS (
+           SELECT doc_id FROM documents WHERE doc_id % 10 < 9
+           UNION SELECT doc_id + 1 FROM documents WHERE doc_id % 10 < 9)
+         SELECT CAST(doc_id AS BIGINT) AS id,
+                CAST(doc_id - doc_id % 10 AS BIGINT) AS component
+         FROM nodes""",
+    "ann_cosine_topk" ->
+      """WITH v AS (
+           SELECT vec_id, CAST(x AS DOUBLE) AS x, i FROM (
+             SELECT vec_id, unnest(embedding) AS x,
+                    generate_subscripts(embedding, 1) AS i
+             FROM embeddings)),
+         n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM v GROUP BY 1),
+         d AS (SELECT a.vec_id AS q, b.vec_id AS c, sum(a.x*b.x) AS dot
+               FROM v a JOIN v b ON a.i = b.i
+               WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
+               GROUP BY 1, 2),
+         s AS (SELECT q AS query_id, c AS corpus_id,
+                      round(dot / (na.nrm * nb.nrm), 6) AS score
+               FROM d JOIN n na ON na.vec_id = d.q JOIN n nb ON nb.vec_id = d.c)
+         SELECT query_id, corpus_id, round(score, 4) AS score, rank FROM (
+           SELECT query_id, corpus_id, score,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, corpus_id) AS INT) AS rank
+           FROM s) WHERE rank <= 5"""
+  ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1,0 +1,151 @@
+package graft.eval
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Spans
+import graft.schema._
+
+/** Evaluation — faithful to utils/evaluate_funcs.py, expressed as joins and
+  * hash aggregations (partial+final for free; no UDAF, no collect).
+  */
+object Metrics {
+
+  private val tripleKey = Seq("url", "subjectType", "subject", "relation", "objectType", "obj")
+
+  /** Triple-set precision/recall/F1, keyed by stable url (never positional —
+    * J5, SURVEY.md §2.4). */
+  def tripleSetPR(pred: Dataset[Triple], gold: Dataset[GoldTriple]): (Double, Double, Double) = {
+    val p = pred.toDF().select(tripleKey.map(col): _*).distinct()
+    val g = gold.toDF()
+      .select(col("url"), col("subjectType"), col("subject"), col("relation"),
+        col("objectType"), col("obj"))
+      .distinct()
+    val nPred = p.count().toDouble
+    val nGold = g.count().toDouble
+    val hit = p.join(g, tripleKey, "left_semi").count().toDouble
+    val prec = if (nPred > 0) hit / nPred else 0.0
+    val rec = if (nGold > 0) hit / nGold else 0.0
+    val f1 = if (prec + rec > 0) 2 * prec * rec / (prec + rec) else 0.0
+    (prec, rec, f1)
+  }
+
+  /** A4/J6 — cal_triple_res (utils/evaluate_funcs.py:51-76): fraction of
+    * documents whose every predicted triple is in the gold set. Docs with no
+    * prediction count as matches, exactly like the reference (match_count is
+    * incremented per doc and decremented on the first miss). */
+  def docExactPrecision(pred: Dataset[Triple], gold: Dataset[GoldTriple],
+      docUrls: DataFrame): Double = {
+    val p = pred.toDF().select(tripleKey.map(col): _*)
+    val g = gold.toDF().select(col("url"), col("subjectType"), col("subject"),
+      col("relation"), col("objectType"), col("obj"))
+    val misses = p.join(g, tripleKey, "left_anti").select("url").distinct()
+    val total = docUrls.select("url").distinct().count().toDouble
+    val missed = misses.count().toDouble
+    if (total > 0) (total - missed) / total else 0.0
+  }
+
+  // ------------------------------------------------------------------
+  // Span-level compute_performance (utils/evaluate_funcs.py:122-317),
+  // CRF branch — the per-question-type precise/blurred P/R/F1 contract.
+  // ------------------------------------------------------------------
+
+  /** One QA eval sample: decoded-context gold and pred tag rows (tag index
+    * 0 = context char 0, question_first=False layout). */
+  final case class EvalSample(questionType: Int, goldLabel: Array[Int], predLabel: Array[Int])
+
+  private final case class PerRow(questionType: Int, tpPrecise: Long, tpBlurred: Long,
+      numPre: Long, numGold: Long, matchCount: Long)
+
+  /** Port of the per-sample accounting, quirks included:
+    *  - positive sample (first nonzero gold tag = B-id): tp_precise counts
+    *    pred spans exactly present in gold spans; tp_blurred via the
+    *    effectively-always-true overlap test (D5);
+    *  - negative sample: an all-equal pred row (len(set(pred))==1 — NOT
+    *    necessarily all-O!) scores tp=1 with num_pre += 1, num_gold += 1.
+    */
+  private def evalRow(s: EvalSample): PerRow = {
+    val idx = Spans.indexNumber(s.goldLabel)
+    if (idx != 0) {
+      val pred = Spans.indicesFromLabel(s.predLabel, idx)
+      val goldS = Spans.indicesFromLabel(s.goldLabel, idx)
+      var tp = 0L
+      var blurred = 0L
+      if (pred.nonEmpty && goldS.nonEmpty) {
+        val gset = goldS.toSet
+        tp = pred.count(gset.contains).toLong
+        blurred = Spans.blurredMatchCount(goldS, pred).toLong
+      }
+      PerRow(idx, tp, blurred,
+        if (pred.nonEmpty) pred.size.toLong else 1L,
+        if (goldS.nonEmpty) goldS.size.toLong else 1L,
+        tp)
+    } else {
+      val allEqual = s.predLabel.isEmpty || s.predLabel.distinct.length == 1
+      val tp = if (allEqual) 1L else 0L
+      // pred_indices = [] when all-equal (num_pre += 1); otherwise the
+      // reference builds one decoded list per detected tag id
+      val numPre =
+        if (allEqual) 1L
+        else {
+          val ids = s.predLabel.filter(_ != 0).distinct
+          if (ids.nonEmpty) ids.length.toLong else 1L
+        }
+      PerRow(idx, tp, tp, numPre, 1L, 0L)
+    }
+  }
+
+  /** Aggregate per-question-type metrics. The question type of a row is its
+    * gold tag id (get_index_number); negative rows (id 0) contribute to the
+    * type they were asked as — pass `askedType` when known. */
+  def computePerformance(samples: Dataset[(Int, EvalSample)]): DataFrame = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    val rows = samples.map { case (askedType, s) =>
+      val r = evalRow(s)
+      val t = if (r.questionType != 0) r.questionType else askedType
+      (Ontology.id2relation.getOrElse(t, "<unk>"), r.tpPrecise, r.tpBlurred, r.numPre, r.numGold, r.matchCount)
+    }.toDF("question_type", "tp_precise", "tp_blurred", "num_pre", "num_gold", "match_count")
+
+    val agg = rows.groupBy("question_type").agg(
+      sum("tp_precise").as("tp_precise"),
+      sum("tp_blurred").as("tp_blurred"),
+      sum("num_pre").as("num_pre"),
+      sum("num_gold").as("num_gold"),
+      sum("match_count").as("match_count"))
+
+    def ratio(num: String, den: String) =
+      when(col(den) =!= 0, col(num).cast("double") / col(den)).otherwise(lit(0.0))
+    def f1(p: String, r: String) =
+      when(col(p) =!= 0 && col(r) =!= 0,
+        lit(2) * col(p) * col(r) / (col(p) + col(r))).otherwise(lit(0.0))
+
+    agg
+      .withColumn("precision_precise", ratio("tp_precise", "num_pre"))
+      .withColumn("recall_precise", ratio("tp_precise", "num_gold"))
+      .withColumn("precision_blurred", ratio("tp_blurred", "num_pre"))
+      .withColumn("recall_blurred", ratio("tp_blurred", "num_gold"))
+      .withColumn("f1_precise", f1("precision_precise", "recall_precise"))
+      .withColumn("f1_blurred", f1("precision_blurred", "recall_blurred"))
+  }
+
+  /** Macro scores over ALL 17 types (zero rows included, as the reference
+    * iterates the full performance_dic key set) + acc = matched spans /
+    * samples. */
+  def macroScores(perType: DataFrame, numSamples: Long)(implicit spark: SparkSession): Map[String, Double] = {
+    import spark.implicits._
+    val present = perType
+      .select("question_type", "precision_precise", "recall_precise", "f1_precise", "match_count")
+      .as[(String, Double, Double, Double, Long)].collect().map(r => r._1 -> r).toMap
+    val types = Ontology.spanTypes
+    def avgOf(f: ((String, Double, Double, Double, Long)) => Double) =
+      types.map(t => present.get(t).map(f).getOrElse(0.0)).sum / types.size
+    val matched = present.values.map(_._5).sum.toDouble
+    Map(
+      "precision" -> BigDecimal(avgOf(_._2)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      "recall" -> BigDecimal(avgOf(_._3)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      "f1" -> BigDecimal(avgOf(_._4)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      "acc" -> (if (numSamples > 0) matched / numSamples else 0.0)
+    )
+  }
+}

@@ -1,0 +1,114 @@
+package graft.link
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextNorm
+import graft.ops.Hashing
+import graft.schema.{CanonicalTriple, Triple}
+
+/** Entity linking + canonicalization (J8, SURVEY.md §2.4): resolve mention
+  * surfaces to canonical ids via minhash/LSH blocking over normalized
+  * surfaces, candidate-edge verification, and connected components — then
+  * materialize deduplicated canonical triples.
+  *
+  * Scale design:
+  *  - width-normalization (processSent) collapses trivial variants BEFORE
+  *    hashing, so the LSH self-join only carries genuinely distinct surfaces
+  *    (entity vocabulary ≪ corpus size);
+  *  - band fan-out is `bands` rows per surface — shuffle O(surfaces × bands);
+  *  - the self-join is keyed by (band, bucket); hot buckets are bounded by a
+  *    per-bucket pair cap (skew guard) and AQE skew-join splitting handles
+  *    residual imbalance;
+  *  - canonical id = min id in component (deterministic under any
+  *    partitioning).
+  */
+object Linker {
+
+  final case class SurfaceKey(surface: String, norm: String, id: Long)
+
+  /** Distinct mention surfaces with normalized form and stable 64-bit id. */
+  def surfaces(triples: Dataset[Triple]): Dataset[SurfaceKey] = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    triples.flatMap(t => Seq(t.subject, t.obj)).distinct()
+      .map { s =>
+        val norm = TextNorm.processSentStr(s)
+        SurfaceKey(s, norm, Hashing.hash64(norm))
+      }
+  }
+
+  /** Candidate same-entity edges via minhash/LSH over char 2-gram shingles
+    * of the normalized surface, verified by true Jaccard >= threshold. */
+  def candidateEdges(surf: Dataset[SurfaceKey], k: Int = 8, bands: Int = 4,
+      shingleN: Int = 2, threshold: Double = 0.6, bucketCap: Int = 1000): DataFrame = {
+    val spark = surf.sparkSession
+    import spark.implicits._
+    val rows = k / bands
+    val banded = surf.flatMap { sk =>
+      val mh = Hashing.minhash(Hashing.charShingles(sk.norm, shingleN), k)
+      (0 until bands).map { b =>
+        val key = Hashing.splitmix64(
+          (b * rows until (b + 1) * rows).foldLeft(b.toLong)((acc, j) => acc * 31 + mh(j)))
+        (key, sk.id, sk.norm)
+      }
+    }.toDF("bucket", "id", "norm")
+
+    // skew guard: drop pairs beyond bucketCap per bucket (logged via count)
+    val counted = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
+      .filter(col("bucket_n") <= bucketCap)
+
+    counted.as("a").join(counted.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("src"), col("b.id").as("dst"),
+        col("a.norm").as("norm_a"), col("b.norm").as("norm_b"))
+      .distinct()
+      .as[(Long, Long, String, String)]
+      .flatMap { case (src, dst, na, nb) =>
+        val j = Hashing.jaccard(
+          Hashing.charShingles(na, shingleN), Hashing.charShingles(nb, shingleN))
+        if (j >= threshold) Some((src, dst)) else None
+      }.toDF("src", "dst")
+  }
+
+  /** surface → (canonical id, canonical surface). Canonical surface is the
+    * representative with min (length, lexicographic) in the component. */
+  def resolution(surf: Dataset[SurfaceKey]): DataFrame = {
+    val spark = surf.sparkSession
+    val edges = candidateEdges(surf)
+    val comp = ConnectedComponents.run(edges)
+    val withComp = surf.toDF()
+      .join(comp, surf("id") === comp("id"), "left")
+      .select(col("surface"), col("norm"), surf("id").as("id"),
+        coalesce(col("component"), surf("id")).as("canonical_id"))
+    val reps = withComp
+      .groupBy("canonical_id")
+      .agg(min(struct(length(col("surface")).as("l"), col("surface").as("s"))).as("rep"))
+      .select(col("canonical_id"), col("rep.s").as("canonical_surface"))
+    withComp.join(reps, "canonical_id")
+      .select("surface", "canonical_id", "canonical_surface")
+  }
+
+  /** Deduplicated canonical triples with support counts. */
+  def canonicalTriples(triples: Dataset[Triple]): Dataset[CanonicalTriple] = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val res = resolution(surfaces(triples))
+    val subjRes = res.select(col("surface").as("subject"),
+      col("canonical_id").as("subjectId"), col("canonical_surface").as("subjectCanon"))
+    val objRes = res.select(col("surface").as("obj"),
+      col("canonical_id").as("objectId"), col("canonical_surface").as("objectCanon"))
+    triples.toDF()
+      .join(subjRes, "subject")
+      .join(objRes, "obj")
+      .groupBy("subjectId", "subjectCanon", "subjectType", "relation",
+        "objectId", "objectCanon", "objectType")
+      .agg(countDistinct("url").as("urls"))
+      .select(col("subjectId"), col("subjectCanon").as("subject"), col("subjectType"),
+        col("relation"), col("objectId"), col("objectCanon").as("obj"),
+        col("objectType"), col("urls"))
+      .as[CanonicalTriple]
+  }
+}

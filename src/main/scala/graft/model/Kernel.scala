@@ -1,0 +1,276 @@
+package graft.model
+
+import scala.util.Random
+
+import graft.encode.EncodedRow
+import graft.schema.{Ontology, Span}
+
+/** The per-partition batched inference kernel — the Spark-side analogue of
+  * the reference's BERT→LayerNorm→classifier→CRF forward pass
+  * (models/bert_mrc.py:110-205), in pure Scala over primitive float arrays:
+  *
+  *  - M1  embedding lookup + [[KernelConfig.layers]] transformer blocks
+  *  - M2  TF-style LayerNorm, eps 1e-12 (layers/bert_layernorm.py:34-48)
+  *  - M10 sin/cos positional encoding (models/bert_mrc.py:44-59, with the
+  *        reference's unimported-`math` bug fixed)
+  *  - M11 gelu activation (models/bert_basic_model.py:58-62)
+  *  - M5  linear token classifier to 36 tags (layers/classifier.py:23-33)
+  *  - M6  Viterbi decode with a 36×36 transition matrix forbidding an I-tag
+  *        that does not follow its own B/I (models/bert_mrc.py:199-205)
+  *
+  * Weights are seeded and deterministic. The encoder contributes a bounded
+  * (|tanh|·0.5) score; the decisive emission signal is the gazetteer bias
+  * (distilled span knowledge, SURVEY.md §7.4), so decoding is exact on clean
+  * text while the compute shape (matmuls per batch row) stays faithful.
+  */
+final case class KernelConfig(
+    hidden: Int = 32,
+    layers: Int = 1,
+    maxSeq: Int = 168,
+    seed: Long = 20260816L,
+    oBias: Float = 8f,
+    spanBias: Float = 16f
+)
+
+final class Kernel(val cfg: KernelConfig, vocabSize: Int) extends Serializable {
+  import cfg._
+  private val numLabels = Ontology.numLabels
+  private val rng = new Random(seed)
+
+  private def mat(rows: Int, cols: Int): Array[Float] =
+    Array.fill(rows * cols)((rng.nextGaussian() * 0.02).toFloat)
+
+  // M1 weights
+  private val embed = mat(vocabSize, hidden)
+  private val segEmbed = mat(2, hidden)
+  private case class Block(wq: Array[Float], wk: Array[Float], wv: Array[Float],
+      wo: Array[Float], w1: Array[Float], b1: Array[Float],
+      w2: Array[Float], b2: Array[Float])
+  private val blocks = Array.fill(layers)(Block(
+    mat(hidden, hidden), mat(hidden, hidden), mat(hidden, hidden), mat(hidden, hidden),
+    mat(hidden, hidden * 4), new Array[Float](hidden * 4),
+    mat(hidden * 4, hidden), new Array[Float](hidden)))
+  // M5 classifier
+  private val wc = mat(hidden, numLabels)
+  private val bc = new Array[Float](numLabels)
+
+  // M10 positional encoding table
+  private val posEnc: Array[Float] = {
+    val pe = new Array[Float](maxSeq * hidden)
+    var p = 0
+    while (p < maxSeq) {
+      var i = 0
+      while (i < hidden) {
+        val angle = p / math.pow(10000.0, (2 * (i / 2)).toDouble / hidden)
+        pe(p * hidden + i) = if (i % 2 == 0) math.sin(angle).toFloat else math.cos(angle).toFloat
+        i += 1
+      }
+      p += 1
+    }
+    pe
+  }
+
+  // M6 transition matrix: -1e4 into I-tag k+1 unless prev ∈ {k, k+1}.
+  private val trans: Array[Float] = {
+    val t = new Array[Float](numLabels * numLabels)
+    var prev = 0
+    while (prev < numLabels) {
+      var next = 0
+      while (next < numLabels) {
+        val isI = next >= 3 && next % 2 == 1 // odd ids >=3 are I-tags
+        if (isI && prev != next && prev != next - 1) t(prev * numLabels + next) = -1e4f
+        next += 1
+      }
+      prev += 1
+    }
+    t
+  }
+  private val startScore: Array[Float] = {
+    val s = new Array[Float](numLabels)
+    var k = 0
+    while (k < numLabels) { if (k >= 3 && k % 2 == 1) s(k) = -1e4f; k += 1 }
+    s
+  }
+
+  // M2 LayerNorm (gamma=1, beta=0), eps 1e-12
+  private def layerNorm(x: Array[Float], seqLen: Int): Unit = {
+    var t = 0
+    while (t < seqLen) {
+      val off = t * hidden
+      var mu = 0f; var i = 0
+      while (i < hidden) { mu += x(off + i); i += 1 }
+      mu /= hidden
+      var va = 0f; i = 0
+      while (i < hidden) { val d = x(off + i) - mu; va += d * d; i += 1 }
+      va /= hidden
+      val inv = (1.0 / math.sqrt(va + 1e-12)).toFloat
+      i = 0
+      while (i < hidden) { x(off + i) = (x(off + i) - mu) * inv; i += 1 }
+      t += 1
+    }
+  }
+
+  // M11 gelu (tanh approximation of the reference's erf form,
+  // models/bert_basic_model.py:58-62; difference is O(1e-3), far below the
+  // gazetteer-bias decision margin)
+  @inline private def gelu(x: Float): Float = {
+    val x3 = x * x * x
+    (0.5 * x * (1.0 + math.tanh(0.7978845608028654 * (x + 0.044715 * x3)))).toFloat
+  }
+
+  /** x[seq×h] · w[h×o] -> out[seq×o], while-loop matmul. */
+  private def matmul(x: Array[Float], w: Array[Float], seqLen: Int, h: Int, o: Int,
+      bias: Array[Float], out: Array[Float]): Unit = {
+    var t = 0
+    while (t < seqLen) {
+      val xo = t * h
+      var j = 0
+      while (j < o) {
+        var acc = if (bias ne null) bias(j) else 0f
+        var i = 0
+        while (i < h) { acc += x(xo + i) * w(i * o + j); i += 1 }
+        out(t * o + j) = acc
+        j += 1
+      }
+      t += 1
+    }
+  }
+
+  /** Encoder forward: contextual hidden states for the first seqLen tokens. */
+  private def forward(row: EncodedRow, seqLen: Int): Array[Float] = {
+    val h = new Array[Float](seqLen * hidden)
+    var t = 0
+    while (t < seqLen) {
+      val id = row.inputIds(t)
+      val seg = row.segmentIds(t)
+      var i = 0
+      while (i < hidden) {
+        h(t * hidden + i) = embed(id * hidden + i) + segEmbed(seg * hidden + i) + posEnc(t * hidden + i)
+        i += 1
+      }
+      t += 1
+    }
+    layerNorm(h, seqLen)
+
+    val scale = (1.0 / math.sqrt(hidden.toDouble)).toFloat
+    blocks.foreach { blk =>
+      val q = new Array[Float](seqLen * hidden)
+      val k = new Array[Float](seqLen * hidden)
+      val v = new Array[Float](seqLen * hidden)
+      matmul(h, blk.wq, seqLen, hidden, hidden, null, q)
+      matmul(h, blk.wk, seqLen, hidden, hidden, null, k)
+      matmul(h, blk.wv, seqLen, hidden, hidden, null, v)
+      // single-head attention
+      val ctx = new Array[Float](seqLen * hidden)
+      val scores = new Array[Float](seqLen)
+      var ti = 0
+      while (ti < seqLen) {
+        var tj = 0
+        var mx = Float.NegativeInfinity
+        while (tj < seqLen) {
+          var s = 0f; var i = 0
+          while (i < hidden) { s += q(ti * hidden + i) * k(tj * hidden + i); i += 1 }
+          s *= scale
+          scores(tj) = s
+          if (s > mx) mx = s
+          tj += 1
+        }
+        var z = 0f
+        tj = 0
+        while (tj < seqLen) { scores(tj) = math.exp(scores(tj) - mx).toFloat; z += scores(tj); tj += 1 }
+        tj = 0
+        while (tj < seqLen) {
+          val a = scores(tj) / z
+          var i = 0
+          while (i < hidden) { ctx(ti * hidden + i) += a * v(tj * hidden + i); i += 1 }
+          tj += 1
+        }
+        ti += 1
+      }
+      val attnOut = new Array[Float](seqLen * hidden)
+      matmul(ctx, blk.wo, seqLen, hidden, hidden, null, attnOut)
+      var x = 0
+      while (x < h.length) { h(x) += attnOut(x); x += 1 }
+      layerNorm(h, seqLen)
+      // FFN
+      val mid = new Array[Float](seqLen * hidden * 4)
+      matmul(h, blk.w1, seqLen, hidden, hidden * 4, blk.b1, mid)
+      var m = 0
+      while (m < mid.length) { mid(m) = gelu(mid(m)); m += 1 }
+      val ffnOut = new Array[Float](seqLen * hidden)
+      matmul(mid, blk.w2, seqLen, hidden * 4, hidden, blk.b2, ffnOut)
+      x = 0
+      while (x < h.length) { h(x) += ffnOut(x); x += 1 }
+      layerNorm(h, seqLen)
+    }
+    h
+  }
+
+  /** Full forward + Viterbi for one encoded row.
+    *
+    * @param biasSpans gazetteer-matched spans in CONTEXT char coordinates
+    *                  (token position = 1 + char, context-first layout)
+    * @param tagB      B-tag id of the asked question type
+    * @return          decoded tag per context char (length lenContext) —
+    *                  the reference decodes logits[:,1:] so index 0 is
+    *                  context char 0 (models/bert_mrc.py:199-205)
+    */
+  def tag(row: EncodedRow, biasSpans: List[Span], tagB: Int): Array[Int] = {
+    val seqLen = 1 + row.lenContext + 1 // [CLS] ctx [SEP]; question tokens don't need decoding
+    val fullLen = math.min(maxSeq, seqLen + row.lenQuestion + 1)
+    val h = forward(row, fullLen)
+    // M5 classifier + bounded encoder contribution + bias emissions
+    val logits = new Array[Float](fullLen * numLabels)
+    matmul(h, wc, fullLen, hidden, numLabels, bc, logits)
+    var x = 0
+    while (x < logits.length) { logits(x) = math.tanh(logits(x)).toFloat * 0.5f; x += 1 }
+    var t = 0
+    while (t < fullLen) { logits(t * numLabels + 1) += cfg.oBias; t += 1 } // 'O'
+    biasSpans.foreach { sp =>
+      val bPos = 1 + sp.start
+      if (bPos < fullLen) logits(bPos * numLabels + tagB) += cfg.spanBias
+      var p = bPos + 1
+      while (p <= sp.end && p < fullLen) { logits(p * numLabels + tagB + 1) += cfg.spanBias; p += 1 }
+    }
+    viterbi(logits, 1, 1 + row.lenContext, fullLen)
+  }
+
+  /** M6 — Viterbi DP over tag positions [from, until). */
+  private def viterbi(logits: Array[Float], from: Int, until: Int, fullLen: Int): Array[Int] = {
+    val n = math.min(until, fullLen) - from
+    if (n <= 0) return Array.empty
+    val dp = new Array[Float](numLabels)
+    val bp = Array.ofDim[Int](n, numLabels)
+    var k = 0
+    while (k < numLabels) { dp(k) = startScore(k) + logits(from * numLabels + k); k += 1 }
+    var t = 1
+    while (t < n) {
+      val next = new Array[Float](numLabels)
+      var j = 0
+      while (j < numLabels) {
+        var best = Float.NegativeInfinity
+        var arg = 0
+        var i = 0
+        while (i < numLabels) {
+          val s = dp(i) + trans(i * numLabels + j)
+          if (s > best) { best = s; arg = i }
+          i += 1
+        }
+        next(j) = best + logits((from + t) * numLabels + j)
+        bp(t)(j) = arg
+        j += 1
+      }
+      System.arraycopy(next, 0, dp, 0, numLabels)
+      t += 1
+    }
+    var bestK = 0
+    var bestV = Float.NegativeInfinity
+    k = 0
+    while (k < numLabels) { if (dp(k) > bestV) { bestV = dp(k); bestK = k }; k += 1 }
+    val tags = new Array[Int](n)
+    tags(n - 1) = bestK
+    t = n - 1
+    while (t > 0) { tags(t - 1) = bp(t)(tags(t)); t -= 1 }
+    tags
+  }
+}

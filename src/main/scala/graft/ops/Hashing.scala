@@ -1,0 +1,82 @@
+package graft.ops
+
+/** Deterministic 64-bit string hashing (FNV-1a + splitmix finalizer),
+  * engine-independent: the same value on every executor, every Spark
+  * version, and in tests — unlike relying on an engine builtin for
+  * minhash/LSH semantics. Used for minhash lanes and entity ids.
+  */
+object Hashing {
+
+  @inline def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** FNV-1a over UTF-16 code units, finalized with splitmix64(seed-mixed). */
+  def hash64(s: String, seed: Long = 0L): Long = {
+    var h = 0xCBF29CE484222325L ^ splitmix64(seed)
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001B3L
+      i += 1
+    }
+    splitmix64(h)
+  }
+
+  /** k minhash lanes over a shingle set. Empty input → Long.MaxValue lanes. */
+  def minhash(shingles: Iterable[String], k: Int): Array[Long] = {
+    val mh = Array.fill(k)(Long.MaxValue)
+    shingles.foreach { sh =>
+      val base = hash64(sh)
+      var j = 0
+      while (j < k) {
+        // cheap per-lane derivation: one strong base hash + splitmix stream
+        val v = splitmix64(base + j * 0x9E3779B97F4A7C15L)
+        if (v < mh(j)) mh(j) = v
+        j += 1
+      }
+    }
+    mh
+  }
+
+  /** Character n-gram shingle set. */
+  def charShingles(s: String, n: Int): Set[String] = {
+    if (s.length < n) { if (s.isEmpty) Set.empty else Set(s) }
+    else (0 to s.length - n).iterator.map(i => s.substring(i, i + n)).toSet
+  }
+
+  /** Word n-gram shingles over whitespace tokens. */
+  def wordShingles(s: String, n: Int): Set[String] = {
+    val toks = s.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) { if (toks.isEmpty) Set.empty else Set(toks.mkString(" ")) }
+    else toks.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  /** 64-bit SimHash over weighted token hashes. */
+  def simhash(tokens: Iterable[String]): Long = {
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = hash64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def jaccard(a: Set[String], b: Set[String]): Double = {
+    if (a.isEmpty && b.isEmpty) 1.0
+    else {
+      val inter = a.intersect(b).size
+      inter.toDouble / (a.size + b.size - inter)
+    }
+  }
+}

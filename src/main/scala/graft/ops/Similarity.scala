@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Scale path: brute-force cosine top-k is the exact baseline (broadcast the
+  * small query side — O(corpus) scan, no corpus shuffle). The LSH-bucketed
+  * variant (random-hyperplane signs) prunes the corpus side to matching
+  * buckets, turning the crossJoin into an equi-join keyed by signature
+  * prefix — the IVF-style route at 10^9+ vectors.
+  */
+object Similarity {
+
+  /** Cosine similarity between two array<float|double> columns, computed in
+    * double precision via native higher-order functions (no UDF). */
+  def cosine(a: Column, b: Column): Column = {
+    def d(c: Column) = transform(c, v => v.cast("double"))
+    val dot = aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(d(a), lit(0.0), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(d(b), lit(0.0), (acc, x) => acc + x * x))
+    when(na === 0 || nb === 0, lit(0.0)).otherwise(dot / (na * nb))
+  }
+
+  /** Exact brute-force top-k: for every query vector, the k nearest corpus
+    * vectors by cosine. Query side is broadcast — corpus never shuffles.
+    * Tie-breaking is deterministic: (rounded score desc, corpus id asc). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("score"), col("rank"))
+  }
+
+  /** Random-hyperplane sign signature (LSH for cosine): `bits` sign bits
+    * from deterministic pseudo-random hyperplanes derived from the element
+    * index — native expressions only. */
+  def signBits(vec: Column, bits: Int): Column = {
+    // hyperplane h_b[i] = sin(splitmix-ish(i, b)) in [-1, 1], folded inline:
+    // deterministic, engine-independent, codegen'd
+    val sigs = (0 until bits).map { b =>
+      val dot = aggregate(
+        zip_with(transform(vec, v => v.cast("double")),
+          sequence(lit(0), size(vec) - 1),
+          (x, i) => x * sin((i.cast("double") + lit(1.0)) * lit((b + 1) * 12.9898) + lit(78.233))),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    sigs.reduce(_.bitwiseOR(_))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates must share one of `bands`
+    * signature bands with the query, then exact cosine re-rank. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, bits: Int = 16, bands: Int = 4): DataFrame = {
+    require(bits % bands == 0)
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    def withBands(df: DataFrame, id: String, vec: String, out: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+          signBits(col(vecCol), bits).as("sig"))
+        .select(col(id), col(vec), posexplode(array(
+          (0 until bands).map(b =>
+            shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*)))
+        .toDF(id, vec, "band", out)
+    val c = withBands(corpus, "corpus_id", "cv", "ckey")
+    val q = withBands(queries, "query_id", "qv", "qkey")
+    val cand = c.join(broadcast(q),
+        col("ckey") === col("qkey") && c("band") === q("band") &&
+          col("query_id") =!= col("corpus_id"))
+      .select("query_id", "qv", "corpus_id", "cv").distinct()
+      .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("score"), col("rank"))
+  }
+}

@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Dataset, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.encode.Encoder
+import graft.functions.Spans
+import graft.model.{Gazetteer, Kernel, KernelConfig}
+import graft.schema._
+
+/** The multi-turn extraction pipeline — the Spark re-realization of
+  * `run_qa.py --do_predict` (run_qa.py:412-508).
+  *
+  * Plan shape (scale rationale):
+  *  - relational prep (newline strip F3, length/organ filter F2, lang/column
+  *    pruning) runs as native Catalyst expressions BEFORE the inference
+  *    barrier, so filter/pruning push down to the scan — `html binary` is
+  *    never read on this path;
+  *  - both question turns are FUSED into ONE `mapPartitions` barrier: turn 2
+  *    depends only on the same document's turn-1 output (run_qa.py:475-477),
+  *    and the question/relation dims are closure constants (<1KB) — so the
+  *    whole extractor is shuffle-free and scales linearly with input splits;
+  *  - per-doc mention dedup (J3, run_qa.py:467-471) and triple dedup (J4,
+  *    run_qa.py:486-487) happen in-operator (insertion-ordered sets), again
+  *    avoiding a corpus-wide shuffle that the reference semantics don't need.
+  *
+  * The model (gazetteer + kernel weights) is materialized once per executor
+  * JVM via a lazy singleton — the analogue of the reference's mmap model load
+  * (utils/file_utils.py:251-255).
+  */
+final case class ExtractorConfig(
+    maxSeq: Int = 168,
+    kernel: KernelConfig = KernelConfig(),
+    langFilter: Option[String] = Some("zh")
+)
+
+object ExtractorModel {
+  private val cache = TrieMap.empty[KernelConfig, (Gazetteer, Kernel)]
+  def get(cfg: KernelConfig): (Gazetteer, Kernel) =
+    cache.getOrElseUpdate(cfg, (Gazetteer.fromLexicon(), new Kernel(cfg, graft.encode.CharVocab.size)))
+}
+
+object Extract {
+
+  /** F2/F3 + lang prep as native columns (predicate pushdown, column
+    * pruning: only url/text survive). */
+  def prepare(pages: DataFrame, cfg: ExtractorConfig): DataFrame = {
+    val base = cfg.langFilter.fold(pages)(l => pages.filter(col("lang") === lit(l)))
+    base
+      .select(col("url"), regexp_replace(col("text"), "\n", "").as("text"))
+      .filter(length(col("text")) > 0 &&
+        !col("text").contains("肝") && !col("text").contains("胃") &&
+        !col("text").contains("甲状腺"))
+  }
+
+  /** Turn 1 for one document: 4 subject questions → encode → kernel →
+    * Viterbi tags → span decode → deduped mention tokens per type
+    * (run_qa.py:440-471). */
+  def turn1(text: String, gaz: Gazetteer, kernel: Kernel, cfg: ExtractorConfig): List[(String, List[String])] = {
+    Ontology.subject2question.toList.map { case (st, question) =>
+      val row = Encoder.encode(text, question, cfg.maxSeq)
+      val bias = gaz.subjectSpans(text, st).filter(_.end <= row.lenContext)
+      val tags = kernel.tag(row, bias, Ontology.questionDic(st))
+      val spans = Spans.indicesFromLabel(tags, Ontology.questionDic(st))
+      val mentions = mutable.LinkedHashSet.empty[String]
+      spans.foreach { sp =>
+        val tok = text.substring(sp.start, math.min(sp.end, text.length))
+        if (tok.nonEmpty) mentions += tok // J3 dedup, run_qa.py:467-471
+      }
+      st -> mentions.toList
+    }
+  }
+
+  /** Turn 2 for one (mention, type): every allowed relation re-asked with
+    * `mention + relation2question[rel]` (get_tail_entities,
+    * run_qa.py:384-410). */
+  def turn2(text: String, st: String, mention: String, gaz: Gazetteer, kernel: Kernel,
+      cfg: ExtractorConfig): List[(String, String)] = {
+    Ontology.questionTurn(st).flatMap { rel =>
+      val question = mention + Ontology.relation2question(rel)
+      val row = Encoder.encode(text, question, cfg.maxSeq)
+      val bias = gaz.objectSpans(text, mention, rel).filter(_.end <= row.lenContext)
+      val tags = kernel.tag(row, bias, Ontology.questionDic(rel))
+      Spans.indicesFromLabel(tags, Ontology.questionDic(rel)).flatMap { sp =>
+        val obj = text.substring(sp.start, math.min(sp.end, text.length))
+        if (obj.nonEmpty) Some(rel -> obj) else None
+      }
+    }
+  }
+
+  /** Full per-document extraction (the body of the predict loop,
+    * run_qa.py:436-496). */
+  def extractDoc(url: String, text: String, gaz: Gazetteer, kernel: Kernel,
+      cfg: ExtractorConfig): List[Triple] = {
+    val out = mutable.LinkedHashSet.empty[Triple] // J4 dedup
+    turn1(text, gaz, kernel, cfg).foreach { case (st, mentions) =>
+      mentions.foreach { m =>
+        turn2(text, st, m, gaz, kernel, cfg).foreach { case (rel, obj) =>
+          out += Triple(url, st, m, rel, rel, obj)
+        }
+      }
+    }
+    out.toList
+  }
+
+  /** The whole extractor: one shuffle-free mapPartitions over prepared docs. */
+  def triples(pages: DataFrame, cfg: ExtractorConfig = ExtractorConfig()): Dataset[Triple] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    prepare(pages, cfg).as[(String, String)].mapPartitions { docs =>
+      val (gaz, kernel) = ExtractorModel.get(cfg.kernel)
+      docs.flatMap { case (url, text) => extractDoc(url, text, gaz, kernel, cfg) }
+    }
+  }
+}

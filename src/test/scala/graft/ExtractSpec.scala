@@ -1,0 +1,74 @@
+package graft
+
+import graft.eval.Metrics
+import graft.pipeline.{Extract, ExtractorConfig, ExtractorModel}
+import graft.synth.Corpus
+
+/** End-to-end golden pipeline (SURVEY.md §7.2): synth corpus → two-turn
+  * extraction → triples; P/R vs planted gold. */
+class ExtractSpec extends SparkSpec {
+
+  private val cfg = ExtractorConfig()
+
+  test("single-doc extraction reproduces planted triples") {
+    val (gaz, kernel) = ExtractorModel.get(cfg.kernel)
+    (0L until 60L).filter(i => i % 37 != 0 && i % 41 != 0).foreach { i =>
+      val d = Corpus.buildDoc(i, seed = 21, noisyFrac = 0.0)
+      val got = Extract.extractDoc(d.page.url, d.page.text, gaz, kernel, cfg)
+        .map(t => (t.subjectType, t.subject, t.relation, t.objectType, t.obj)).toSet
+      val want = d.gold
+        .map(g => (g.subjectType, g.subject, g.relation, g.objectType, g.obj)).toSet
+      assert(got === want, s"doc $i text=${d.page.text}")
+    }
+  }
+
+  test("e2e clean corpus: P = R = 1.0") {
+    val pages = Corpus.pages(spark, 400, seed = 42, noisyFrac = 0.0).toDF()
+    val gold = Corpus.gold(spark, 400, seed = 42, noisyFrac = 0.0)
+    val pred = Extract.triples(pages, cfg)
+    val (p, r, f1) = Metrics.tripleSetPR(pred, gold)
+    assert(p === 1.0, s"precision $p")
+    assert(r === 1.0, s"recall $r")
+    assert(f1 === 1.0)
+  }
+
+  test("e2e noisy corpus: P/R >= 0.95 but < 1.0 (gate is non-trivial)") {
+    val pages = Corpus.pages(spark, 800, seed = 43, noisyFrac = 0.08).toDF()
+    val gold = Corpus.gold(spark, 800, seed = 43, noisyFrac = 0.08)
+    val pred = Extract.triples(pages, cfg)
+    val (p, r, _) = Metrics.tripleSetPR(pred, gold)
+    assert(p >= 0.95, s"precision $p")
+    assert(r >= 0.95, s"recall $r")
+    assert(p < 1.0 || r < 1.0, s"noise should cost something: p=$p r=$r")
+  }
+
+  test("partition-count invariance: local[4] result equals single-partition result") {
+    val pages4 = Corpus.pages(spark, 200, seed = 9, noisyFrac = 0.05).repartition(7).toDF()
+    val pages1 = Corpus.pages(spark, 200, seed = 9, noisyFrac = 0.05).coalesce(1).toDF()
+    val a = Extract.triples(pages4, cfg).collect().toSet
+    val b = Extract.triples(pages1, cfg).collect().toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("excluded docs produce no triples (F2) and en docs are filtered") {
+    val pages = Corpus.pages(spark, 400, seed = 42, noisyFrac = 0.0).toDF()
+    val pred = Extract.triples(pages, cfg)
+    import spark.implicits._
+    val urls = pred.map(_.url).collect().toSet
+    (0L until 400L).foreach { i =>
+      if (i % 37 == 0 || i % 41 == 0) {
+        val d = Corpus.buildDoc(i, 42, 0.0)
+        assert(!urls.contains(d.page.url), s"chaff doc $i leaked")
+      }
+    }
+  }
+
+  test("doc-exact precision (cal_triple_res) is 1.0 on clean corpus") {
+    val pages = Corpus.pages(spark, 300, seed = 42, noisyFrac = 0.0).toDF()
+    val gold = Corpus.gold(spark, 300, seed = 42, noisyFrac = 0.0)
+    val pred = Extract.triples(pages, cfg)
+    val acc = Metrics.docExactPrecision(pred, gold, pages.select("url"))
+    assert(acc === 1.0)
+  }
+}
