@@ -33,7 +33,14 @@ object CharVocab {
   val charToId: Map[Char, Int] = chars.zipWithIndex.map { case (c, i) => c -> (i + 4) }.toMap
   val size: Int = chars.size + 4
 
-  @inline def id(c: Char): Int = charToId.getOrElse(c, UNK)
+  // flat lookup table: no per-char boxing in the encode hot loop
+  private val idTable: Array[Int] = {
+    val t = Array.fill(Char.MaxValue + 1)(UNK)
+    charToId.foreach { case (c, i) => t(c) = i }
+    t
+  }
+
+  @inline def id(c: Char): Int = idTable(c)
 }
 
 final case class EncodedRow(

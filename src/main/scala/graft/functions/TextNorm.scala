@@ -38,8 +38,13 @@ object TextNorm {
   def cleanData(c: Column): Column =
     cleanRules.foldLeft(c) { case (col, (pat, rep)) => regexp_replace(col, pat, rep) }
 
+  // precompiled patterns — String.replaceAll recompiles per call, which
+  // dominates allocation in per-doc kernels
+  private val cleanCompiled: Seq[(java.util.regex.Pattern, String)] =
+    cleanRules.map { case (p, r) => java.util.regex.Pattern.compile(p) -> r }
+
   def cleanDataStr(s: String): String =
-    cleanRules.foldLeft(s) { case (t, (pat, rep)) => t.replaceAll(pat, rep) }
+    cleanCompiled.foldLeft(s) { case (t, (pat, rep)) => pat.matcher(t).replaceAll(rep) }
 
   // ---------------------------------------------------------------- T5
   // The lighter normalization applied to gold subject/object strings
@@ -88,7 +93,8 @@ object TextNorm {
   // markup, then run the reference cleaning chain. This defines the
   // byte-identical `text = extractText(html)` invariant per url.
   def stripTags(c: Column): Column = regexp_replace(c, "<[^>]*>", "")
-  def stripTagsStr(s: String): String = s.replaceAll("<[^>]*>", "")
+  private val tagPattern = java.util.regex.Pattern.compile("<[^>]*>")
+  def stripTagsStr(s: String): String = tagPattern.matcher(s).replaceAll("")
 
   def extractText(htmlUtf8: Column): Column =
     cleanData(stripTags(htmlUtf8.cast("string")))

@@ -92,6 +92,28 @@ final class Kernel(val cfg: KernelConfig, vocabSize: Int) extends Serializable {
     s
   }
 
+  /** Per-thread scratch buffers: the kernel runs row-at-a-time inside a
+    * single task thread, so reusing fixed-size arrays removes ~200KB of
+    * allocation per row — at 32 executor threads the allocation rate would
+    * otherwise saturate the collector and destroy N→4N scaling. */
+  private final class Scratch {
+    val h = new Array[Float](maxSeq * hidden)
+    val q = new Array[Float](maxSeq * hidden)
+    val k = new Array[Float](maxSeq * hidden)
+    val v = new Array[Float](maxSeq * hidden)
+    val ctx = new Array[Float](maxSeq * hidden)
+    val attnOut = new Array[Float](maxSeq * hidden)
+    val mid = new Array[Float](maxSeq * hidden * 4)
+    val ffnOut = new Array[Float](maxSeq * hidden)
+    val scores = new Array[Float](maxSeq)
+    val logits = new Array[Float](maxSeq * numLabels)
+    val dp = new Array[Float](numLabels)
+    val dpNext = new Array[Float](numLabels)
+    val bp = new Array[Int](maxSeq * numLabels)
+  }
+  @transient private lazy val scratch: ThreadLocal[Scratch] =
+    ThreadLocal.withInitial(() => new Scratch)
+
   // M2 LayerNorm (gamma=1, beta=0), eps 1e-12
   private def layerNorm(x: Array[Float], seqLen: Int): Unit = {
     var t = 0
@@ -136,9 +158,10 @@ final class Kernel(val cfg: KernelConfig, vocabSize: Int) extends Serializable {
     }
   }
 
-  /** Encoder forward: contextual hidden states for the first seqLen tokens. */
-  private def forward(row: EncodedRow, seqLen: Int): Array[Float] = {
-    val h = new Array[Float](seqLen * hidden)
+  /** Encoder forward: contextual hidden states for the first seqLen tokens.
+    * Writes into the calling thread's scratch `h` buffer. */
+  private def forward(row: EncodedRow, seqLen: Int, sc: Scratch): Array[Float] = {
+    val h = sc.h
     var t = 0
     while (t < seqLen) {
       val id = row.inputIds(t)
@@ -154,15 +177,16 @@ final class Kernel(val cfg: KernelConfig, vocabSize: Int) extends Serializable {
 
     val scale = (1.0 / math.sqrt(hidden.toDouble)).toFloat
     blocks.foreach { blk =>
-      val q = new Array[Float](seqLen * hidden)
-      val k = new Array[Float](seqLen * hidden)
-      val v = new Array[Float](seqLen * hidden)
+      val q = sc.q
+      val k = sc.k
+      val v = sc.v
       matmul(h, blk.wq, seqLen, hidden, hidden, null, q)
       matmul(h, blk.wk, seqLen, hidden, hidden, null, k)
       matmul(h, blk.wv, seqLen, hidden, hidden, null, v)
       // single-head attention
-      val ctx = new Array[Float](seqLen * hidden)
-      val scores = new Array[Float](seqLen)
+      val ctx = sc.ctx
+      java.util.Arrays.fill(ctx, 0, seqLen * hidden, 0f)
+      val scores = sc.scores
       var ti = 0
       while (ti < seqLen) {
         var tj = 0
@@ -187,20 +211,22 @@ final class Kernel(val cfg: KernelConfig, vocabSize: Int) extends Serializable {
         }
         ti += 1
       }
-      val attnOut = new Array[Float](seqLen * hidden)
+      val attnOut = sc.attnOut
       matmul(ctx, blk.wo, seqLen, hidden, hidden, null, attnOut)
+      val hn = seqLen * hidden
       var x = 0
-      while (x < h.length) { h(x) += attnOut(x); x += 1 }
+      while (x < hn) { h(x) += attnOut(x); x += 1 }
       layerNorm(h, seqLen)
       // FFN
-      val mid = new Array[Float](seqLen * hidden * 4)
+      val mid = sc.mid
       matmul(h, blk.w1, seqLen, hidden, hidden * 4, blk.b1, mid)
+      val mn = seqLen * hidden * 4
       var m = 0
-      while (m < mid.length) { mid(m) = gelu(mid(m)); m += 1 }
-      val ffnOut = new Array[Float](seqLen * hidden)
+      while (m < mn) { mid(m) = gelu(mid(m)); m += 1 }
+      val ffnOut = sc.ffnOut
       matmul(mid, blk.w2, seqLen, hidden * 4, hidden, blk.b2, ffnOut)
       x = 0
-      while (x < h.length) { h(x) += ffnOut(x); x += 1 }
+      while (x < hn) { h(x) += ffnOut(x); x += 1 }
       layerNorm(h, seqLen)
     }
     h
@@ -216,14 +242,16 @@ final class Kernel(val cfg: KernelConfig, vocabSize: Int) extends Serializable {
     *                  context char 0 (models/bert_mrc.py:199-205)
     */
   def tag(row: EncodedRow, biasSpans: List[Span], tagB: Int): Array[Int] = {
+    val sc = scratch.get()
     val seqLen = 1 + row.lenContext + 1 // [CLS] ctx [SEP]; question tokens don't need decoding
     val fullLen = math.min(maxSeq, seqLen + row.lenQuestion + 1)
-    val h = forward(row, fullLen)
+    val h = forward(row, fullLen, sc)
     // M5 classifier + bounded encoder contribution + bias emissions
-    val logits = new Array[Float](fullLen * numLabels)
+    val logits = sc.logits
     matmul(h, wc, fullLen, hidden, numLabels, bc, logits)
+    val ln = fullLen * numLabels
     var x = 0
-    while (x < logits.length) { logits(x) = math.tanh(logits(x)).toFloat * 0.5f; x += 1 }
+    while (x < ln) { logits(x) = math.tanh(logits(x)).toFloat * 0.5f; x += 1 }
     var t = 0
     while (t < fullLen) { logits(t * numLabels + 1) += cfg.oBias; t += 1 } // 'O'
     biasSpans.foreach { sp =>
@@ -232,20 +260,21 @@ final class Kernel(val cfg: KernelConfig, vocabSize: Int) extends Serializable {
       var p = bPos + 1
       while (p <= sp.end && p < fullLen) { logits(p * numLabels + tagB + 1) += cfg.spanBias; p += 1 }
     }
-    viterbi(logits, 1, 1 + row.lenContext, fullLen)
+    viterbi(logits, 1, 1 + row.lenContext, fullLen, sc)
   }
 
   /** M6 — Viterbi DP over tag positions [from, until). */
-  private def viterbi(logits: Array[Float], from: Int, until: Int, fullLen: Int): Array[Int] = {
+  private def viterbi(logits: Array[Float], from: Int, until: Int, fullLen: Int,
+      sc: Scratch): Array[Int] = {
     val n = math.min(until, fullLen) - from
     if (n <= 0) return Array.empty
-    val dp = new Array[Float](numLabels)
-    val bp = Array.ofDim[Int](n, numLabels)
+    val dp = sc.dp
+    val next = sc.dpNext
+    val bp = sc.bp
     var k = 0
     while (k < numLabels) { dp(k) = startScore(k) + logits(from * numLabels + k); k += 1 }
     var t = 1
     while (t < n) {
-      val next = new Array[Float](numLabels)
       var j = 0
       while (j < numLabels) {
         var best = Float.NegativeInfinity
@@ -257,7 +286,7 @@ final class Kernel(val cfg: KernelConfig, vocabSize: Int) extends Serializable {
           i += 1
         }
         next(j) = best + logits((from + t) * numLabels + j)
-        bp(t)(j) = arg
+        bp(t * numLabels + j) = arg
         j += 1
       }
       System.arraycopy(next, 0, dp, 0, numLabels)
@@ -270,7 +299,7 @@ final class Kernel(val cfg: KernelConfig, vocabSize: Int) extends Serializable {
     val tags = new Array[Int](n)
     tags(n - 1) = bestK
     t = n - 1
-    while (t > 0) { tags(t - 1) = bp(t)(tags(t)); t -= 1 }
+    while (t > 0) { tags(t - 1) = bp(t * numLabels + tags(t)); t -= 1 }
     tags
   }
 }

@@ -126,9 +126,13 @@ object Corpus {
     DocSpec(p, gold)
   }
 
+  /** Partition count defaults to 4 waves per core: fine enough granularity
+    * that per-doc cost variance (1-2 subjects, Mass asks 12 relations) can't
+    * make a single straggler task set the stage time. */
   def docSpecs(spark: SparkSession, n: Long, seed: Long, noisyFrac: Double): Dataset[DocSpec] = {
     import spark.implicits._
-    spark.range(n).mapPartitions(_.map(i => buildDoc(i, seed, noisyFrac)))
+    val slices = math.max(spark.sparkContext.defaultParallelism * 4, 4)
+    spark.range(0, n, 1, slices).mapPartitions(_.map(i => buildDoc(i, seed, noisyFrac)))
   }
 
   def pages(spark: SparkSession, n: Long, seed: Long, noisyFrac: Double = 0.0): Dataset[PageDoc] = {
