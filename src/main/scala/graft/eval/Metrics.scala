@@ -83,15 +83,10 @@ object Metrics {
     } else {
       val allEqual = s.predLabel.isEmpty || s.predLabel.distinct.length == 1
       val tp = if (allEqual) 1L else 0L
-      // pred_indices = [] when all-equal (num_pre += 1); otherwise the
-      // reference builds one decoded list per detected tag id
-      val numPre =
-        if (allEqual) 1L
-        else {
-          val ids = s.predLabel.filter(_ != 0).distinct
-          if (ids.nonEmpty) ids.length.toLong else 1L
-        }
-      PerRow(idx, tp, tp, numPre, 1L, 0L)
+      // reference: pred_indices = [] when all-equal, else a 1-element list
+      // [get_indices_from_lable(pred, first_nonzero(pred))] — so num_pre is
+      // incremented by exactly 1 either way (evaluate_funcs.py:245-268)
+      PerRow(idx, tp, tp, 1L, 1L, 0L)
     }
   }
 

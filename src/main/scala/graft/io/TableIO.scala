@@ -1,0 +1,167 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iceberg-style table facade: partitioned parquet + a JSON snapshot manifest
+  * with per-bucket lineage (row count + order-independent checksum), giving
+  * the north_rule's "resumable from checkpoint with per-partition lineage +
+  * metrics" on plain parquet. The sandbox ships no Iceberg runtime jar
+  * (BASELINE.md note); on a real cluster the write/read calls become
+  * `format("iceberg")` one-liners while the manifest/resume logic stays.
+  *
+  * Layout: `<path>/bucket=NN/part-*.parquet` + `<path>/_graft_manifest.json`.
+  *
+  * Resume contract: work is keyed by `pmod(xxhash64(key), nBuckets)` — a pure
+  * function of row content, so bucket identity is stable under any input
+  * partitioning/cluster size. A bucket is COMMITTED once its rows are written
+  * and the manifest records (count, checksum). `pendingInput` anti-joins the
+  * input against committed buckets; re-running a finished stage is a no-op.
+  * The manifest is committed via write-to-temp + atomic rename.
+  */
+object TableIO {
+
+  final case class BucketManifest(bucket: Int, rowCount: Long, checksum: Long)
+  final case class Snapshot(stage: String, inputSnapshot: String, nBuckets: Int,
+      buckets: Seq[BucketManifest]) {
+    def committed: Set[Int] = buckets.map(_.bucket).toSet
+  }
+
+  private def manifestPath(path: String) = new Path(path, "_graft_manifest.json")
+
+  def bucketCol(keyCol: String, nBuckets: Int) =
+    pmod(xxhash64(col(keyCol)), lit(nBuckets)).cast("int")
+
+  // -------------------------------------------------------------- manifest IO
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def readSnapshot(spark: SparkSession, path: String): Option[Snapshot] = {
+    val mp = manifestPath(path)
+    val f = fs(spark, mp)
+    if (!f.exists(mp)) None
+    else {
+      val in = f.open(mp)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      Some(parseSnapshot(txt))
+    }
+  }
+
+  def writeSnapshot(spark: SparkSession, path: String, snap: Snapshot): Unit = {
+    val mp = manifestPath(path)
+    val tmp = new Path(path, s"_graft_manifest.json.tmp")
+    val f = fs(spark, mp)
+    val out = f.create(tmp, true)
+    try out.write(renderSnapshot(snap).getBytes(UTF_8)) finally out.close()
+    if (f.exists(mp)) f.delete(mp, false)
+    if (!f.rename(tmp, mp))
+      throw new java.io.IOException(s"manifest commit failed for $path")
+  }
+
+  // hand-rolled JSON (no extra deps); fields are flat and numeric apart from
+  // two strings we escape minimally
+  private def esc(s: String) = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  def renderSnapshot(s: Snapshot): String = {
+    val bs = s.buckets.sortBy(_.bucket).map(b =>
+      s"""{"bucket":${b.bucket},"rowCount":${b.rowCount},"checksum":${b.checksum}}""")
+      .mkString("[", ",", "]")
+    s"""{"stage":"${esc(s.stage)}","inputSnapshot":"${esc(s.inputSnapshot)}",""" +
+      s""""nBuckets":${s.nBuckets},"buckets":$bs}"""
+  }
+
+  def parseSnapshot(txt: String): Snapshot = {
+    def str(key: String): String = {
+      val m = s""""$key":"((?:[^"\\\\]|\\\\.)*)"""".r
+      m.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        .replace("\\\"", "\"").replace("\\\\", "\\")
+    }
+    def num(key: String): Long =
+      s""""$key":(-?\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L)
+    val bucketRe =
+      """\{"bucket":(-?\d+),"rowCount":(-?\d+),"checksum":(-?\d+)\}""".r
+    val buckets = bucketRe.findAllMatchIn(txt).map { m =>
+      BucketManifest(m.group(1).toInt, m.group(2).toLong, m.group(3).toLong)
+    }.toSeq
+    Snapshot(str("stage"), str("inputSnapshot"), num("nBuckets").toInt, buckets)
+  }
+
+  // -------------------------------------------------------------- stage write
+
+  /** Write the not-yet-committed buckets of `df` under `path`, then commit an
+    * updated manifest. Idempotent: committed buckets are skipped entirely
+    * (their input rows are not recomputed by callers that use
+    * [[pendingInput]], and are not rewritten here either).
+    *
+    * @return number of buckets newly committed
+    */
+  def writeStage(df: DataFrame, path: String, stage: String, keyCol: String,
+      nBuckets: Int, inputSnapshot: String = ""): Int = {
+    val spark = df.sparkSession
+    val prior = readSnapshot(spark, path)
+      .filter(s => s.stage == stage && s.nBuckets == nBuckets &&
+        s.inputSnapshot == inputSnapshot)
+    val done = prior.map(_.committed).getOrElse(Set.empty)
+
+    val withBucket = df.withColumn("bucket", bucketCol(keyCol, nBuckets))
+    val pending = withBucket.filter(!col("bucket").isin(done.toSeq: _*) || lit(done.isEmpty))
+
+    // lineage: per-bucket count + order-independent checksum of the key
+    val manifests = pending
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("rowCount"),
+        coalesce(bit_xor(xxhash64(col(keyCol))), lit(0L)).as("checksum"))
+      .collect()
+      .map(r => BucketManifest(r.getInt(0), r.getLong(1), r.getLong(2)))
+
+    if (manifests.nonEmpty) {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      pending.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    }
+    val merged = (prior.map(_.buckets).getOrElse(Seq.empty) ++ manifests)
+      .groupBy(_.bucket).map(_._2.last).toSeq
+    writeSnapshot(spark, path, Snapshot(stage, inputSnapshot, nBuckets, merged))
+    manifests.length
+  }
+
+  /** Input rows whose bucket is NOT yet committed for (path, stage). */
+  def pendingInput(input: DataFrame, keyCol: String, path: String, stage: String,
+      nBuckets: Int, inputSnapshot: String = ""): DataFrame = {
+    val spark = input.sparkSession
+    val done = readSnapshot(spark, path)
+      .filter(s => s.stage == stage && s.nBuckets == nBuckets &&
+        s.inputSnapshot == inputSnapshot)
+      .map(_.committed).getOrElse(Set.empty)
+    if (done.isEmpty) input
+    else input.filter(!bucketCol(keyCol, nBuckets).isin(done.toSeq: _*))
+  }
+
+  def readStage(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Verify written data against the manifest lineage (count + checksum per
+    * bucket). Returns mismatching buckets (empty = healthy). */
+  def auditStage(spark: SparkSession, path: String, keyCol: String): Seq[Int] = {
+    readSnapshot(spark, path) match {
+      case None => Seq.empty
+      case Some(snap) =>
+        val actual = readStage(spark, path)
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("c"), coalesce(bit_xor(xxhash64(col(keyCol))), lit(0L)).as("h"))
+          .collect()
+          .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+        snap.buckets.collect {
+          case b if actual.get(b.bucket) != Some((b.rowCount, b.checksum)) => b.bucket
+        }
+    }
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.io.TableIO
+import graft.pipeline.{Extract, Pipeline}
+import graft.synth.Corpus
+
+/** TableIO manifests, resume anti-join, lineage audit; Pipeline resume. */
+class TableIOSpec extends SparkSpec {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-tableio").toString
+
+  test("manifest JSON round-trips") {
+    val snap = TableIO.Snapshot("extract", "in-\"quoted\"", 8,
+      Seq(TableIO.BucketManifest(0, 10, -123456789L), TableIO.BucketManifest(3, 7, 42L)))
+    val parsed = TableIO.parseSnapshot(TableIO.renderSnapshot(snap))
+    assert(parsed === snap)
+  }
+
+  test("writeStage + readStage round-trips data with lineage") {
+    import spark.implicits._
+    val dir = tmpDir() + "/t1"
+    val df = (0 until 500).map(i => (s"url-$i", i.toLong)).toDF("url", "v")
+    val n = TableIO.writeStage(df, dir, "s1", "url", 16)
+    assert(n === 16)
+    val back = TableIO.readStage(spark, dir)
+    assert(back.count() === 500)
+    assert(back.select("url", "v").as[(String, Long)].collect().toSet ===
+      df.as[(String, Long)].collect().toSet)
+    assert(TableIO.auditStage(spark, dir, "url") === Seq.empty)
+  }
+
+  test("pendingInput skips committed buckets; resume completes the table") {
+    import spark.implicits._
+    val dir = tmpDir() + "/t2"
+    val full = (0 until 400).map(i => (s"url-$i", i.toLong)).toDF("url", "v")
+    // interrupted first run: only half the buckets' input arrived
+    val firstHalf = full.filter(TableIO.bucketCol("url", 8) < 4)
+    TableIO.writeStage(firstHalf, dir, "s1", "url", 8)
+    val snap1 = TableIO.readSnapshot(spark, dir).get
+    assert(snap1.committed === Set(0, 1, 2, 3))
+
+    // resume: pending excludes the committed buckets
+    val pending = TableIO.pendingInput(full, "url", dir, "s1", 8)
+    val pendingBuckets = pending.select(TableIO.bucketCol("url", 8)).distinct()
+      .as[Int].collect().toSet
+    assert(pendingBuckets === Set(4, 5, 6, 7))
+
+    TableIO.writeStage(pending, dir, "s1", "url", 8)
+    assert(TableIO.readSnapshot(spark, dir).get.committed === (0 until 8).toSet)
+    assert(TableIO.readStage(spark, dir).count() === 400)
+    assert(TableIO.auditStage(spark, dir, "url") === Seq.empty)
+
+    // idempotent: re-running with everything committed writes nothing
+    val again = TableIO.pendingInput(full, "url", dir, "s1", 8)
+    assert(again.count() === 0)
+  }
+
+  test("audit detects tampered data") {
+    val dir = tmpDir() + "/t3"
+    import spark.implicits._
+    val df = (0 until 100).map(i => (s"url-$i", i.toLong)).toDF("url", "v")
+    TableIO.writeStage(df, dir, "s1", "url", 4)
+    // tamper: delete one bucket's files
+    val f = new java.io.File(s"$dir/bucket=2")
+    f.listFiles().foreach(_.delete())
+    f.delete()
+    val bad = TableIO.auditStage(spark, dir, "url")
+    assert(bad === Seq(2))
+  }
+
+  test("Pipeline resume: partial extract run is completed, not recomputed") {
+    val dir = tmpDir() + "/p1"
+    val cfg = Pipeline.Config(dir, nBuckets = 8)
+    val pages = Corpus.pages(spark, 250, seed = 42, noisyFrac = 0.0).toDF()
+
+    // simulate an interrupted run: only pages of buckets 0-3 got processed
+    val partial = pages.filter(TableIO.bucketCol("url", 8) < 4)
+    Pipeline.runExtract(partial, cfg)
+    val afterPartial = TableIO.readStage(spark, Pipeline.triplesDir(cfg)).count()
+
+    // resume with the full input: only pending buckets are recomputed
+    val pendingCount = TableIO.pendingInput(pages, "url", Pipeline.triplesDir(cfg),
+      "extract", 8, cfg.inputSnapshot).count()
+    assert(pendingCount < pages.count())
+    Pipeline.runExtract(pages, cfg)
+    val afterResume = TableIO.readStage(spark, Pipeline.triplesDir(cfg)).count()
+    assert(afterResume > afterPartial)
+
+    // the resumed table equals a from-scratch run
+    val fresh = Extract.triples(pages).toDF()
+      .select("url", "subjectType", "subject", "relation", "objectType", "obj")
+      .collect().toSet
+    val resumed = TableIO.readStage(spark, Pipeline.triplesDir(cfg))
+      .select("url", "subjectType", "subject", "relation", "objectType", "obj")
+      .collect().toSet
+    assert(resumed === fresh)
+
+    // canonicalize runs once, then is skipped
+    assert(Pipeline.runCanonicalize(spark, cfg) > 0)
+    assert(Pipeline.runCanonicalize(spark, cfg) === 0)
+    assert(TableIO.readStage(spark, Pipeline.canonicalDir(cfg)).count() > 0)
+  }
+}
