@@ -129,6 +129,32 @@ object SparkEntry {
     "o7_mod_split" -> ((s, dir) =>
       t(s, dir, "documents").groupBy((col("doc_id") % 5).as("bucket"))
         .agg(count(lit(1)).as("n"))),
+    "a3_macro_average" -> ((s, dir) => {
+      val perType = t(s, dir, "events").groupBy("event_type")
+        .agg(avg("value").as("avg_value"))
+      perType.agg(round(avg("avg_value"), 4).as("macro_avg"), count(lit(1)).as("n_types"))
+    }),
+    "a4_doc_exact_precision" -> ((s, dir) => {
+      val flags = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(min(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("all_f"))
+      flags.agg(round(avg("all_f"), 4).as("doc_exact_precision"))
+    }),
+    // ---------------------------------------------------------------- sampling
+    "o2_deterministic_downsample" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+      t(s, dir, "events").withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("user_id", "event_id")
+    }),
+    "o3_oversample" -> ((s, dir) =>
+      t(s, dir, "events").filter(col("value") > 0.9)
+        .select(col("event_id"), explode(sequence(lit(1), lit(3))).as("copy"))),
+    // ---------------------------------------------------------------- json
+    "s3_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))),
     // ---------------------------------------------------------------- windows
     "w1_first_event_per_user" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -272,6 +298,24 @@ object SparkEntry {
     "o7_mod_split" ->
       """SELECT doc_id % 5 AS bucket, CAST(count(*) AS BIGINT) AS n
          FROM documents GROUP BY 1""",
+    "a3_macro_average" ->
+      """SELECT round(avg(avg_value), 4) AS macro_avg, CAST(count(*) AS BIGINT) AS n_types
+         FROM (SELECT event_type, avg(value) AS avg_value FROM events GROUP BY 1)""",
+    "a4_doc_exact_precision" ->
+      """SELECT round(avg(all_f), 4) AS doc_exact_precision FROM (
+         SELECT o_custkey, min(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS all_f
+         FROM orders GROUP BY 1)""",
+    "o2_deterministic_downsample" ->
+      """SELECT user_id, event_id FROM (
+         SELECT user_id, event_id, row_number() OVER (
+           PARTITION BY user_id ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+         FROM events) WHERE rn <= 3""",
+    "o3_oversample" ->
+      """SELECT event_id, CAST(c.copy AS INT) AS copy FROM events
+         CROSS JOIN (VALUES (1),(2),(3)) c(copy) WHERE value > 0.9""",
+    "s3_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+         FROM events""",
     "w1_first_event_per_user" ->
       """SELECT user_id, event_id, event_type FROM (
          SELECT user_id, event_id, event_type,

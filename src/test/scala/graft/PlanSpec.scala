@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Extract, ExtractorConfig}
+import graft.synth.Corpus
+
+/** Physical-plan assertions — the properties that decide 100TB viability:
+  * column pruning (html binary never read), partition pruning on lang,
+  * broadcast joins for the tiny dims, filter placement before the
+  * mapPartitions inference barrier. */
+class PlanSpec extends SparkSpec {
+
+  private lazy val pagesDir: String = {
+    val dir = Files.createTempDirectory("graft-plan").toString + "/pages"
+    Corpus.pages(spark, 300, seed = 42, noisyFrac = 0.0).toDF()
+      .write.partitionBy("lang").parquet(dir)
+    dir
+  }
+
+  private def leafScans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] = {
+    val plan = df.queryExecution.executedPlan
+    val resolved = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    resolved.collectLeaves().collect { case f: FileSourceScanExec => f }
+  }
+
+  test("extract path reads only url+text: html/warc_ts pruned at the scan") {
+    val pages = spark.read.parquet(pagesDir)
+    val prepared = Extract.prepare(pages, ExtractorConfig())
+    val scans = leafScans(prepared)
+    assert(scans.nonEmpty)
+    val readCols = scans.flatMap(_.requiredSchema.fieldNames).toSet
+    assert(readCols === Set("url", "text"),
+      s"scan should read only url,text but reads $readCols")
+  }
+
+  test("lang filter prunes partitions at planning time") {
+    val pages = spark.read.parquet(pagesDir)
+    val prepared = Extract.prepare(pages, ExtractorConfig(langFilter = Some("zh")))
+    val scans = leafScans(prepared)
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "lang=zh should appear as a partition filter, not a row filter")
+    // and the en partition's rows are never surfaced
+    val zhOnly = prepared.select("url").count()
+    val all = pages.count()
+    assert(zhOnly < all)
+  }
+
+  test("non-partition filters are pushed to the scan (PushedFilters)") {
+    val pages = spark.read.parquet(pagesDir)
+    val filtered = pages.filter(col("url") > "https://synth.test/42/000000000100")
+      .select("url")
+    val scans = leafScans(filtered)
+    assert(scans.exists(_.dataFilters.nonEmpty), "url predicate should reach the scan")
+  }
+
+  test("relation-dim join is a broadcast hash join (no shuffle of the fact side)") {
+    val plan = SparkEntry.queries("j2_relation_fanout")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("metric aggregation plans as partial+final hash aggregate") {
+    val plan = SparkEntry.queries("a1_metric_counters")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "expected partial+final")
+  }
+
+  test("whole-stage codegen covers the relational prep before the barrier") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    val pages = spark.read.parquet(pagesDir)
+    val prepared = Extract.prepare(pages, ExtractorConfig())
+    val codegenSpans = prepared.queryExecution.executedPlan.collect {
+      case w: WholeStageCodegenExec => w
+    }
+    assert(codegenSpans.nonEmpty, prepared.queryExecution.executedPlan.toString.take(1500))
+  }
+}
