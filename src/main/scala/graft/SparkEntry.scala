@@ -212,6 +212,18 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
     }),
+    "mm_media_meta" -> ((s, dir) =>
+      graft.multimodal.Media.metaTable(graft.multimodal.Media.corpus(s, 400, seed = 3))),
+    "mm_frame_sample" -> ((s, dir) =>
+      graft.multimodal.Media.sampleFrames(graft.multimodal.Media.corpus(s, 300, seed = 3)).toDF()
+        .select(col("url"), col("frameIdx"))),
+    "mm_feature_ann" -> ((s, dir) => {
+      val feats = graft.multimodal.Media.features(
+        graft.multimodal.Media.corpus(s, 300, seed = 3)).toDF()
+        .withColumn("vec_id", xxhash64(col("url")))
+      Similarity.bruteForceTopK(feats,
+        feats.filter(col("url") < "media://3/0000000005"), "vec_id", "feature", k = 5)
+    }),
     "kg_extract_triples" -> ((s, dir) =>
       Extract.triples(Corpus.pages(s, 400, seed = 42, noisyFrac = 0.0).toDF()).toDF()),
     "kg_link_entities" -> ((s, dir) => {

@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Media
+import graft.pipeline.Extract
+import graft.streaming.StreamExtract
+import graft.synth.Corpus
+
+/** Structured Streaming incremental extraction + multimodal plumbing. */
+class StreamExtractSpec extends SparkSpec {
+
+  test("AvailableNow stream equals batch output, and resumes incrementally") {
+    val root = Files.createTempDirectory("graft-stream").toString
+    val pagesDir = s"$root/pages"
+    val outDir = s"$root/triples"
+    val ckptDir = s"$root/ckpt"
+
+    val batch1 = Corpus.pages(spark, 120, seed = 42, noisyFrac = 0.0).toDF()
+    batch1.write.parquet(pagesDir)
+
+    val q1 = StreamExtract.runAvailableNow(spark, pagesDir, outDir, ckptDir)
+    q1.awaitTermination()
+    val got1 = spark.read.parquet(outDir)
+    val want1 = Extract.triples(batch1).toDF()
+    assert(got1.count() === want1.count())
+    assert(got1.collect().map(_.toSeq).toSet === want1.collect().map(_.toSeq).toSet)
+
+    // new files land: restart with same checkpoint → only new pages processed
+    val batch2 = Corpus.pages(spark, 80, seed = 99, noisyFrac = 0.0).toDF()
+    batch2.write.mode("append").parquet(pagesDir)
+    val q2 = StreamExtract.runAvailableNow(spark, pagesDir, outDir, ckptDir)
+    q2.awaitTermination()
+    val got2 = spark.read.parquet(outDir)
+    val want2 = Extract.triples(batch2).toDF()
+    assert(got2.count() === want1.count() + want2.count())
+  }
+
+  test("watermarked triple-rate aggregation produces windowed counts") {
+    val root = Files.createTempDirectory("graft-stream2").toString
+    val pagesDir = s"$root/pages"
+    Corpus.pages(spark, 150, seed = 7, noisyFrac = 0.0).toDF().write.parquet(pagesDir)
+
+    val agg = StreamExtract.tripleRate(StreamExtract.readPages(spark, pagesDir))
+    val q = agg.writeStream.format("memory").queryName("triple_rate")
+      .outputMode("update").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.sql("SELECT * FROM triple_rate")
+    assert(rows.count() > 0)
+    val total = rows.agg(sum("triples")).head().getLong(0)
+    val batchTotal = Extract.triples(
+      Corpus.pages(spark, 150, seed = 7, noisyFrac = 0.0).toDF()).count()
+    assert(total === batchTotal)
+  }
+}
+
+class MediaSpec extends SparkSpec {
+
+  test("header parse round-trips the synthetic container") {
+    import spark.implicits._
+    val media = Media.corpus(spark, 60, seed = 3)
+    val metas = Media.extractMeta(media).collect()
+    assert(metas.length === 60)
+    assert(metas.forall(_.valid))
+    assert(metas.map(_.kind).toSet === Set(0, 1, 2))
+    // widths match the generator formula
+    metas.foreach { m =>
+      val i = m.url.takeRight(10).toLong
+      assert(m.width === 16 + (i % 48).toInt)
+    }
+  }
+
+  test("corrupt blobs are flagged, not fatal") {
+    import spark.implicits._
+    val bad = Seq(
+      Media.MediaRow("media://bad/1", 0, "NOPE".getBytes ++ Array[Byte](1, 2, 3, 4, 5)),
+      Media.MediaRow("media://bad/2", 0, Array[Byte](1)),
+      Media.MediaRow("media://bad/3", 0, null)
+    ).toDS()
+    val metas = Media.extractMeta(bad).collect()
+    assert(metas.forall(!_.valid))
+  }
+
+  test("video frame sampling: every 2nd FRAME_BYTES slice, co-partitioned") {
+    import spark.implicits._
+    val media = Media.corpus(spark, 90, seed = 3)
+    val frames = Media.sampleFrames(media, stride = 2).collect()
+    val videos = Media.extractMeta(media).filter(col("kind") === Media.KIND_VIDEO)
+      .as[Media.MediaMeta].collect()
+    val expected = videos.map(v =>
+      (0 until (v.payloadBytes / Media.FRAME_BYTES).toInt by 2).size).sum
+    assert(frames.length === expected)
+    assert(frames.forall(_.frame.length === Media.FRAME_BYTES))
+  }
+
+  test("batched feature extraction is deterministic and unit-norm") {
+    val media = Media.corpus(spark, 50, seed = 3)
+    val f1 = Media.features(media).collect().map(f => f.url -> f.feature.toSeq).toMap
+    val f2 = Media.features(media, batchSize = 7).collect()
+      .map(f => f.url -> f.feature.toSeq).toMap
+    assert(f1 === f2) // batch shape must not affect values
+    f1.values.foreach { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-4)
+    }
+  }
+}
