@@ -189,6 +189,13 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(
         t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text",
         n = 8, threshold = 0.1)),
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      Dedup.embeddingCosinePairs(
+        t(s, dir, "embeddings").filter(col("vec_id") < 1000), "vec_id", "embedding", 0.45)),
+    // ---------------------------------------------------------------- skew
+    "skew_salted_agg" -> ((s, dir) =>
+      graft.ops.Skew.saltedCountSum(t(s, dir, "events"), "event_type", "value", "event_id")
+        .select(col("event_type"), col("cnt"), round(col("sum_value"), 2).as("sum_value"))),
     // ---------------------------------------------------------------- graph
     "cc_chain_components" -> ((s, dir) => {
       val ids = t(s, dir, "documents").select(col("doc_id"))
@@ -378,6 +385,23 @@ object SparkEntry {
          JOIN sizes na ON na.doc_id = id_a
          JOIN sizes nb ON nb.doc_id = id_b
          WHERE CAST(shared AS DOUBLE) / (na.n_sh + nb.n_sh - shared) >= 0.1""",
+    "dedup_embedding_cosine" ->
+      """WITH v AS (
+           SELECT vec_id, CAST(x AS DOUBLE) AS x, i FROM (
+             SELECT vec_id, unnest(embedding) AS x,
+                    generate_subscripts(embedding, 1) AS i
+             FROM embeddings WHERE vec_id < 1000)),
+         n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM v GROUP BY 1),
+         d AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x*b.x) AS dot
+               FROM v a JOIN v b ON a.i = b.i AND a.vec_id < b.vec_id
+               GROUP BY 1, 2)
+         SELECT id_a, id_b, round(round(dot/(na.nrm*nb.nrm), 6), 4) AS cosine
+         FROM d JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+         WHERE round(dot/(na.nrm*nb.nrm), 6) >= 0.45""",
+    "skew_salted_agg" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+         round(sum(value), 2) AS sum_value
+         FROM events GROUP BY event_type""",
     "cc_chain_components" ->
       """WITH nodes AS (
            SELECT doc_id FROM documents WHERE doc_id % 10 < 9

@@ -106,6 +106,19 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("keeper"))
   }
 
+  /** Embedding-cosine near-dup pairs — exact O(n²) baseline (the scale path
+    * is [[graft.ops.Similarity.lshTopK]]-style bucketing). Double-precision
+    * cosine, deterministic output. */
+  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", round(Similarity.cosine(col("va"), col("vb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+
   /** SimHash near-dup candidates: 64-bit simhash, blocked on 4 16-bit bands
     * (Hamming distance ≤ 3 ⇒ at least one identical band). Returns verified
     * pairs with their Hamming distance. */
