@@ -233,6 +233,17 @@ object SparkEntry {
     }),
     "kg_extract_triples" -> ((s, dir) =>
       Extract.triples(Corpus.pages(s, 400, seed = 42, noisyFrac = 0.0).toDF()).toDF()),
+    "kg_qa_samples" -> ((s, dir) => {
+      val pages = Corpus.pages(s, 300, seed = 42, noisyFrac = 0.0).toDF()
+      val gold = Corpus.gold(s, 300, seed = 42, noisyFrac = 0.0)
+      graft.pipeline.QaGen.qaSamples(pages, gold)
+    }),
+    "kg_encoded_samples" -> ((s, dir) => {
+      val pages = Corpus.pages(s, 300, seed = 42, noisyFrac = 0.0).toDF()
+      val gold = Corpus.gold(s, 300, seed = 42, noisyFrac = 0.0)
+      graft.pipeline.QaGen.encode(graft.pipeline.QaGen.qaSamples(pages, gold)).toDF()
+        .select(col("url"), col("questionType"), col("lenQuestion"), col("lenContext"))
+    }),
     "kg_link_entities" -> ((s, dir) => {
       val triples = Extract.triples(Corpus.pages(s, 300, seed = 42, noisyFrac = 0.0).toDF())
       graft.link.Linker.canonicalTriples(triples).toDF()

@@ -21,8 +21,11 @@ object CharVocab {
     * the ontology questions, lexicons, and corpus templates; ids assigned in
     * codepoint order starting at 4. */
   val chars: Vector[Char] = {
+    // NB: pattern-generated phrases (Size: 约NN×MMmm) contribute chars that
+    // appear in no lexicon literal — they must be listed here explicitly
     val template = "胸部CT检查所见：余未见异常。报告编号复查对照扫描序号肝脏及胆囊区密度影，-（）" +
-      "０１２３４５６７８９ｍ×。、" + Lexicon.toFullWidthDigits("0123456789m")
+      Lexicon.sizePhrase(1234567890, 0) +
+      Lexicon.toFullWidthDigits(Lexicon.sizePhrase(1234567890, 0)) + "。、"
     val all = (0x20 to 0x7E).map(_.toChar).mkString +
       Ontology.subject2question.values.mkString +
       Ontology.relation2question.values.mkString +

@@ -1,0 +1,135 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.encode.Encoder
+import graft.functions.Spans
+import graft.schema.{EncodedSample, GoldTriple, Ontology, Span}
+
+/** Offline QA-sample preparation — the relational re-formulation of
+  * `parse_triple_to_qa_directly` + `convert_to_input_feature`
+  * (data/data_utils.py:230-338, 478-566; traced in SURVEY.md §3.1).
+  *
+  * One linear DataFrame pipeline replaces the reference's in-memory python
+  * loops: gold triples join pages → subject samples + positive relation
+  * samples + anti-join negatives (J7) → deterministic negative downsampling
+  * (O2: md5-ordered window instead of np.random.choice — seedable and
+  * reproducible, documented divergence) → positive oversampling (O3, the
+  * reference's `min(neg,10)/len(pos)/2` integer rate) → char-pair encoding
+  * (T8) + BIO label arrays (T9) in one mapPartitions.
+  */
+object QaGen {
+
+  /** qa_samples table (FIXTURES.md §3):
+    * (url, context, question, question_type, subject_token, labels). */
+  def qaSamples(pages: DataFrame, gold: Dataset[GoldTriple],
+      numNegSample: Int = 10): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+
+    val ctx = pages.select(col("url"), col("text").as("context"))
+    val g = gold.toDF()
+
+    // subject type -> question / tag id dims (broadcast closure constants)
+    val subjQ = Ontology.subject2question.map { case (t, q) =>
+      (t, q, Ontology.questionDic(t))
+    }.toSeq.toDF("subjectType", "question", "question_type")
+    val relDim = Ontology.questionTurn.toSeq
+      .flatMap { case (st, rels) => rels.map(r => (st, r)) }
+      .toDF("subjectType", "relation")
+    val relQ = Ontology.relation2question.map { case (r, q) =>
+      (r, q, Ontology.questionDic(r))
+    }.toSeq.toDF("relation", "rel_question", "rel_question_type")
+
+    // one subject per (url, type): the reference's per-type slot is
+    // overwritten per spo, so the LAST-planted subject wins — max_by(start)
+    val subjects = g.groupBy("url", "subjectType")
+      .agg(max_by(col("subject"), col("spanSubject.start")).as("subject"),
+        max_by(col("spanSubject"), col("spanSubject.start")).as("span"))
+
+    val subjectSamples = subjects
+      .join(broadcast(subjQ), "subjectType")
+      .select(col("url"), col("question"), col("question_type"),
+        lit("").as("subject_token"), array(col("span")).as("labels"))
+
+    // positive relation samples: distinct object spans per (url, type, rel)
+    val positives = g.groupBy("url", "subjectType", "relation")
+      .agg(first("subject").as("subject_token"),
+        array_sort(array_distinct(collect_list(col("spanObject")))).as("labels"))
+
+    // J7 negatives: allowed relations never planted for this subject
+    val negatives = subjects
+      .join(broadcast(relDim), "subjectType")
+      .join(positives.select("url", "subjectType", "relation"),
+        Seq("url", "subjectType", "relation"), "left_anti")
+      .select(col("url"), col("subjectType"), col("relation"),
+        col("subject").as("subject_token"),
+        array().cast("array<struct<start:int,end:int>>").as("labels"))
+
+    // O2: deterministic per-doc negative downsample
+    val w = Window.partitionBy("url")
+      .orderBy(md5(concat(col("url"), col("subjectType"), col("relation"))))
+    val sampledNegatives = negatives
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= numNegSample)
+      .drop("rn")
+
+    val relationSamples = positives
+      .select(col("url"), col("subjectType"), col("relation"),
+        col("subject_token"), col("labels"))
+      .unionByName(sampledNegatives)
+      .join(broadcast(relQ), "relation")
+      .select(col("url"),
+        concat(col("subject_token"), col("rel_question")).as("question"),
+        col("rel_question_type").as("question_type"),
+        col("subject_token"), col("labels"))
+
+    // O3: positive oversampling rate = min(neg,10)/len(pos)/2, computed per
+    // doc over relation samples (the reference accumulates its counters
+    // incrementally inside the per-subject loop; the per-doc formulation is
+    // the order-independent equivalent suitable for a distributed plan)
+    val counts = relationSamples
+      .groupBy("url")
+      .agg(
+        sum(when(size(col("labels")) > 0, 1).otherwise(0)).as("n_pos"),
+        sum(when(size(col("labels")) === 0, 1).otherwise(0)).as("n_neg"))
+      .withColumn("rate",
+        when(col("n_pos") > 0,
+          floor(least(col("n_neg"), lit(numNegSample)) / col("n_pos") / 2))
+          .otherwise(lit(0)))
+      .select("url", "rate")
+
+    val base = subjectSamples.unionByName(
+      relationSamples.drop("subjectType"))
+
+    val oversampled = base
+      .filter(size(col("labels")) > 0)
+      .join(counts, "url")
+      .filter(col("rate") > 0)
+      .select(col("url"), col("question"), col("question_type"),
+        col("subject_token"), col("labels"),
+        explode(sequence(lit(1), col("rate").cast("int"))).as("_copy"))
+      .drop("_copy")
+
+    base.unionByName(oversampled)
+      .join(ctx, "url")
+      .select("url", "context", "question", "question_type", "subject_token", "labels")
+  }
+
+  /** encoded_samples: the columnar twin of the reference's six .npy
+    * matrices, built in one mapPartitions (T8 encode + T9 BIO labels). */
+  def encode(qa: DataFrame, maxSeq: Int = 168): Dataset[EncodedSample] = {
+    val spark = qa.sparkSession
+    import spark.implicits._
+    qa.select("url", "context", "question", "question_type", "labels")
+      .as[(String, String, String, Int, Seq[Span])]
+      .mapPartitions(_.map { case (url, context, question, qType, spans) =>
+        val row = Encoder.encode(context, question, maxSeq)
+        val bio = Spans.bioLabels(maxSeq, qType, spans.filter(_.end <= row.lenContext))
+        EncodedSample(url, qType, row.inputIds, row.inputMask, row.segmentIds,
+          bio, row.lenQuestion, row.lenContext)
+      })
+  }
+}
