@@ -14,19 +14,8 @@ import graft.synth.Corpus
   */
 object Bench {
 
-  private def session(cpus: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.driver.host", "localhost")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  private def session(cpus: Int): SparkSession =
+    SparkSessionFactory.local(cpus, s"graft-bench-$cpus")
 
   private def time[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the engine's recommended session configuration — the same
+  * knobs a spark-submit deployment would set (SURVEY.md §4.2/§4.3):
+  * AQE with skew-join splitting, sensible shuffle parallelism, native
+  * function registration (GraftExtensions).
+  */
+object SparkSessionFactory {
+
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+
+  def local(cpus: Int, appName: String = "graft"): SparkSession = {
+    val s = builder(s"local[$cpus]", math.max(cpus, 4)).appName(appName).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -17,13 +17,8 @@ object PipelineRun {
     val nDocs = args(1).toLong
     val bucketLimit = if (args.length > 2) Some(args(2).toInt) else None
 
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.ui.enabled", false)
-      .config("spark.driver.host", "localhost")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.SparkSessionFactory.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-pipeline")
 
     val cfg = Pipeline.Config(workDir, nBuckets = 16)
     val all = Corpus.pages(spark, nDocs, seed = 42, noisyFrac = 0.02).toDF()

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.io.GoldIO
+import graft.pipeline.Extract
+import graft.synth.Corpus
+
+/** Reference JSON interchange: explicit-schema gold reader, prediction-compat
+  * writer, and a full write→read round-trip. */
+class GoldIOSpec extends SparkSpec {
+
+  test("gold JSON round-trips through the reference format") {
+    val dir = Files.createTempDirectory("graft-gold").toString + "/gold"
+    val pages = Corpus.pages(spark, 150, seed = 42, noisyFrac = 0.0).toDF()
+    val gold = Corpus.gold(spark, 150, seed = 42, noisyFrac = 0.0).toDF()
+
+    GoldIO.writeGoldJson(gold, pages, dir)
+    val back = GoldIO.readGoldJson(spark, dir)
+
+    // every (text-keyed) triple survives byte-identically; T5 normalization
+    // is a no-op on lexicon phrases (clean-invariant by LexiconSpec)
+    val wantByText = gold
+      .join(pages.select("url", "text"), "url")
+      .select("text", "subjectType", "subject", "relation", "objectType", "obj")
+      .collect().map(_.toSeq).toSet
+    val gotSet = back
+      .select("text", "subjectType", "subject", "relation", "objectType", "obj")
+      .collect().map(_.toSeq).toSet
+    assert(gotSet === wantByText)
+    assert(back.where(col("combined")).count() === 0)
+  }
+
+  test("T5 normalization applies to SPO fields on read") {
+    val dir = Files.createTempDirectory("graft-gold2").toString
+    val line = """{"text":"x","spo_list":[{"subject_type":"Mass","subject":"a(b),c",""" +
+      """"object_type":{"@value":"Size"},"object":{"@value":"(d)"},""" +
+      """"predicate":"Size","Combined":true}]}"""
+    Files.writeString(java.nio.file.Paths.get(dir, "g.json"), line)
+    val row = GoldIO.readGoldJson(spark, dir).head()
+    assert(row.getAs[String]("subject") === "a（b）c".replace("）c", "），c")) // a（b），c
+    assert(row.getAs[String]("obj") === "（d）")
+    assert(row.getAs[Boolean]("combined") === true)
+  }
+
+  test("prediction-compat JSON lines match the reference sink shape") {
+    import spark.implicits._
+    val pages = Corpus.pages(spark, 60, seed = 42, noisyFrac = 0.0).toDF()
+    val triples = Extract.triples(pages)
+    val js = GoldIO.predictionJson(triples, pages)
+    assert(js.count() === pages.count()) // one line per doc, even empty ones
+    val sample = js.filter(col("json").contains("subject_type")).head().getAs[String]("json")
+    assert(sample.contains("\"subject_type\""))
+    assert(sample.contains("\"relation\""))
+    // docs with no triples serialize an empty spo_list, as the reference does
+    val empty = js.as[(String, String)].collect()
+      .filter(_._2.contains("\"spo_list\":[]"))
+    assert(empty.nonEmpty)
+  }
+}
