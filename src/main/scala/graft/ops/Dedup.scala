@@ -107,15 +107,42 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs — exact O(n²) baseline (the scale path
-    * is [[graft.ops.Similarity.lshTopK]]-style bucketing). Double-precision
-    * cosine, deterministic output. */
+    * is [[graft.ops.Similarity.lshTopK]]-style bucketing). The smaller side
+    * is broadcast and the dot products run as tight primitive loops inside
+    * mapPartitions: higher-order-function cosine is interpreted per element
+    * and ~50× slower at 10^5+ pairs. Double-precision, ascending-index
+    * accumulation (matches the SQL oracle's summation order). */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", round(Similarity.cosine(col("va"), col("vb")), 6))
-      .filter(col("cosine") >= threshold)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+    val all = vecs.collect().sortBy(_._1)
+    val norms = all.map { case (_, v) =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val bcVecs = spark.sparkContext.broadcast(all)
+    val bcNorms = spark.sparkContext.broadcast(norms)
+    vecs.mapPartitions { it =>
+      val ref = bcVecs.value
+      val nrm = bcNorms.value
+      it.flatMap { case (idA, va) =>
+        var sa = 0.0
+        var i = 0
+        while (i < va.length) { sa += va(i) * va(i); i += 1 }
+        val na = math.sqrt(sa)
+        ref.iterator.zipWithIndex.collect { case ((idB, vb), j) if idB > idA =>
+          var dot = 0.0
+          var k = 0
+          while (k < va.length) { dot += va(k) * vb(k); k += 1 }
+          val c = if (na == 0 || nrm(j) == 0) 0.0 else dot / (na * nrm(j))
+          (idA, idB, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.filter(_._3 >= threshold)
+      }
+    }.toDF("id_a", "id_b", "cosine")
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
 
