@@ -32,6 +32,9 @@ object Bench {
     // (SPARK_GRAFT_BENCH_MODE=kg skips it for scaling-only iteration)
     val kgOnly = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("kg")
     var spark = session(cpus)
+    // absorb session/codegen warm-up so the first query isn't over-charged
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     val results =
       if (kgOnly) Seq.empty[(String, Double)]
       else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -57,7 +57,9 @@ object ConnectedComponents {
     var it = 0
     var lastSum: Option[(Long, Long)] = None
     while (!converged && it < maxIter) {
-      val next = canon(smallStar(largeStar(cur))).localCheckpoint()
+      // lazy checkpoint: the signature aggregation below materializes it,
+      // so each round costs ONE job instead of checkpoint-then-aggregate
+      val next = canon(smallStar(largeStar(cur))).localCheckpoint(false)
       val sig = next.agg(
         count(lit(1)).cast("long"),
         coalesce(sum(hash(col("src"), col("dst")).cast("long")), lit(0L))

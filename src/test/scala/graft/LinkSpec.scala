@@ -93,6 +93,16 @@ class LinkerSpec extends SparkSpec {
     assert(byId("左肺上叶") !== byId("右肺下叶"))
   }
 
+  test("canonicalization is partition-count invariant") {
+    import spark.implicits._
+    val pages = graft.synth.Corpus.pages(spark, 150, seed = 42, noisyFrac = 0.0).toDF()
+    val triples = graft.pipeline.Extract.triples(pages)
+    val a = Linker.canonicalTriples(triples.repartition(13)).collect().toSet
+    val b = Linker.canonicalTriples(triples.coalesce(1)).collect().toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("canonical triples aggregate distinct-url support") {
     import spark.implicits._
     val triples = Seq(
