@@ -219,6 +219,10 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
     }),
+    "ivf_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+    }),
     "mm_media_meta" -> ((s, dir) =>
       graft.multimodal.Media.metaTable(graft.multimodal.Media.corpus(s, 400, seed = 3))),
     "mm_frame_sample" -> ((s, dir) =>

@@ -57,6 +57,75 @@ object Similarity {
     sigs.reduce(_.bitwiseOR(_))
   }
 
+  /** IVF (inverted-file) approximate top-k — the 10^9-vector scale path:
+    * k-means coarse quantizer (deterministic seeded Lloyd on a driver-side
+    * sample), corpus assigned to nearest centroid (one narrow shuffle-free
+    * map), queries probe the `nProbe` nearest cells, exact cosine re-rank
+    * inside the probed cells only.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 5,
+      trainSample: Int = 2048): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val vecs = corpus.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+    // deterministic training sample: smallest ids (stable under partitioning)
+    val sample = vecs.orderBy(col(idCol)).limit(trainSample).collect().map(_._2)
+    val dim = sample.head.length
+
+    // seeded Lloyd iterations on the driver (the quantizer is tiny; at real
+    // scale swap for a distributed trainer without touching the search path)
+    var centroids = Array.tabulate(math.min(nCells, sample.length))(i =>
+      sample(((i.toLong * 2654435761L) % sample.length).toInt.abs).clone())
+    (0 until lloydIters).foreach { _ =>
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else { val out = sums(c); var i = 0; while (i < dim) { out(i) /= counts(c); i += 1 }; out }
+      }.toArray
+    }
+    val bcCentroids = spark.sparkContext.broadcast(centroids)
+
+    val assigned = vecs.map { case (id, v) =>
+      (nearestCentroid(v, bcCentroids.value), id, v)
+    }.toDF("cell", "corpus_id", "cv")
+
+    val probed = queries.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        nearestCentroids(v, bcCentroids.value, nProbe).map(c => (c, id, v))
+      }.toDF("cell", "query_id", "qv")
+
+    val cand = assigned.join(broadcast(probed), "cell")
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select("query_id", "qv", "corpus_id", "cv").distinct()
+      .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("score"), col("rank"))
+  }
+
+  private def nearestCentroid(v: Array[Double], cs: Array[Array[Double]]): Int =
+    nearestCentroids(v, cs, 1).head
+
+  private def nearestCentroids(v: Array[Double], cs: Array[Array[Double]], n: Int): Seq[Int] =
+    cs.indices.map { c =>
+      var d = 0.0
+      var i = 0
+      while (i < v.length) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+      (c, d)
+    }.sortBy(x => (x._2, x._1)).take(n).map(_._1)
+
   /** LSH-bucketed approximate top-k: candidates must share one of `bands`
     * signature bands with the query, then exact cosine re-rank. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
