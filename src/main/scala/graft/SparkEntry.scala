@@ -251,6 +251,23 @@ object SparkEntry {
     "kg_link_entities" -> ((s, dir) => {
       val triples = Extract.triples(Corpus.pages(s, 300, seed = 42, noisyFrac = 0.0).toDF())
       graft.link.Linker.canonicalTriples(triples).toDF()
+    }),
+    "kg_eval_pr" -> ((s, dir) => {
+      import s.implicits._
+      // the north-rule quality gate, materialized: triple-set P/R/F1 + the
+      // reference's doc-exact precision on the noisy split (>= 0.95 required)
+      val pages = Corpus.pages(s, 800, seed = 43, noisyFrac = 0.08).toDF()
+      val gold = Corpus.gold(s, 800, seed = 43, noisyFrac = 0.08)
+      val pred = Extract.triples(pages)
+      val (p, r, f1) = graft.eval.Metrics.tripleSetPR(pred, gold)
+      val docExact = graft.eval.Metrics.docExactPrecision(pred, gold, pages.select("url"))
+      Seq((
+        BigDecimal(p).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(r).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(f1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(docExact).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        p >= 0.95 && r >= 0.95))
+        .toDF("precision", "recall", "f1", "doc_exact_precision", "gate_passed")
     })
   )
 

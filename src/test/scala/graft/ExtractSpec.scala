@@ -64,6 +64,22 @@ class ExtractSpec extends SparkSpec {
     }
   }
 
+  test("over-length documents truncate safely (spans beyond the window drop)") {
+    val (gaz, kernel) = ExtractorModel.get(cfg.kernel)
+    val d = Corpus.buildDoc(2, seed = 21, noisyFrac = 0.0)
+    // pad far past maxSeq so the context truncates mid-document
+    val longText = d.page.text + "其余层面未见明显异常改变。" * 40
+    assert(longText.length > cfg.maxSeq)
+    val got = Extract.extractDoc(d.page.url, longText, gaz, kernel, cfg)
+    // planted content sits at the front, inside the truncation window
+    val want = d.gold.map(g => (g.subjectType, g.subject, g.relation, g.obj)).toSet
+    assert(got.map(t => (t.subjectType, t.subject, t.relation, t.obj)).toSet === want)
+    // and a doc whose mentions sit past the window yields nothing, not a crash
+    val shifted = "其余层面未见明显异常改变。" * 40 + d.page.text
+    val got2 = Extract.extractDoc(d.page.url, shifted, gaz, kernel, cfg)
+    assert(got2.isEmpty)
+  }
+
   test("doc-exact precision (cal_triple_res) is 1.0 on clean corpus") {
     val pages = Corpus.pages(spark, 300, seed = 42, noisyFrac = 0.0).toDF()
     val gold = Corpus.gold(spark, 300, seed = 42, noisyFrac = 0.0)
