@@ -11,6 +11,9 @@ import graft.schema._
   */
 object Metrics {
 
+  def round4(d: Double): Double =
+    BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   private val tripleKey = Seq("url", "subjectType", "subject", "relation", "objectType", "obj")
 
   /** Triple-set precision/recall/F1, keyed by stable url (never positional —
@@ -137,9 +140,9 @@ object Metrics {
       types.map(t => present.get(t).map(f).getOrElse(0.0)).sum / types.size
     val matched = present.values.map(_._5).sum.toDouble
     Map(
-      "precision" -> BigDecimal(avgOf(_._2)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-      "recall" -> BigDecimal(avgOf(_._3)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-      "f1" -> BigDecimal(avgOf(_._4)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      "precision" -> round4(avgOf(_._2)),
+      "recall" -> round4(avgOf(_._3)),
+      "f1" -> round4(avgOf(_._4)),
       "acc" -> (if (numSamples > 0) matched / numSamples else 0.0)
     )
   }
