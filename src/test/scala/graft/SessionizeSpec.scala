@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.Sessionize
+import graft.streaming.Sessionize.{Event, Session}
+
+class SessionizeSpec extends SparkSpec {
+
+  // base offset keeps the earliest event strictly above the initial
+  // watermark (0): a row exactly AT the watermark is dropped as late
+  private def ts(sec: Long) = new Timestamp((86400L + sec) * 1000L)
+
+  test("streaming: sessions close on in-stream gaps and on event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = Sessionize.sessions(
+      input.toDS().withWatermark("ts", "10 seconds").as[Event], gapMs = 30000L)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // u1: two events 5s apart (one session); u2: one event
+      input.addData(Event(1, ts(0), "view"), Event(1, ts(5), "click"), Event(2, ts(2), "view"))
+      q.processAllAvailable()
+      // u1's next event 100s later closes the first session in-stream and the
+      // watermark (100-10=90 > 5+30) times out u2's session
+      input.addData(Event(1, ts(100), "view"))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(300), "view")) // advance watermark further
+      q.processAllAvailable()
+
+      val got = spark.sql("SELECT * FROM sessions").as[Session].collect()
+        .map(s => (s.userId, s.start.getTime, s.end.getTime, s.events)).toSet
+      assert(got.contains((1L, ts(0).getTime, ts(5).getTime, 2L)), got)
+      assert(got.contains((2L, ts(2).getTime, ts(2).getTime, 1L)), got)
+      // u1's second session (t=100) closes once the watermark passes 130
+      assert(got.contains((1L, ts(100).getTime, ts(100).getTime, 1L)), got)
+    } finally q.stop()
+  }
+
+  test("batch: same function sessionizes a static dataset") {
+    import spark.implicits._
+    val events = Seq(
+      Event(7, ts(0), "a"), Event(7, ts(10), "b"), Event(7, ts(100), "c"),
+      Event(8, ts(50), "a")
+    ).toDS()
+    val got = Sessionize.sessions(events, gapMs = 30000L).collect()
+      .map(s => (s.userId, s.start.getTime, s.events)).toSet
+    // batch mode has no timeouts: only gap-closed sessions are emitted
+    assert(got.contains((7L, ts(0).getTime, 2L)))
+  }
+}
