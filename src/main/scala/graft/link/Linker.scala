@@ -39,9 +39,20 @@ object Linker {
   }
 
   /** Candidate same-entity edges via minhash/LSH over char 2-gram shingles
-    * of the normalized surface, verified by true Jaccard >= threshold. */
+    * of the normalized surface, verified by true Jaccard >= threshold.
+    *
+    * Hot-key handling (north_rule): a bucket with more than `bucketCap`
+    * members would produce O(n²) pairs in the self-join. Instead of dropping
+    * it, oversized buckets switch to SORTED-NEIGHBORHOOD pairing: members
+    * are ordered by normalized surface and each pairs only with its next
+    * `neighborWindow` neighbors — near-identical surfaces sort adjacently,
+    * so recall stays high while pair count is bounded to O(n·W). Small
+    * buckets keep the exact all-pairs join; AQE skew-join splitting covers
+    * residual imbalance.
+    */
   def candidateEdges(surf: Dataset[SurfaceKey], k: Int = 8, bands: Int = 4,
-      shingleN: Int = 2, threshold: Double = 0.6, bucketCap: Int = 1000): DataFrame = {
+      shingleN: Int = 2, threshold: Double = 0.6, bucketCap: Int = 1000,
+      neighborWindow: Int = 8): DataFrame = {
     val spark = surf.sparkSession
     import spark.implicits._
     val rows = k / bands
@@ -54,16 +65,32 @@ object Linker {
       }
     }.toDF("bucket", "id", "norm")
 
-    // skew guard: drop pairs beyond bucketCap per bucket (logged via count)
-    val counted = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("bucket")))
-      .filter(col("bucket_n") <= bucketCap)
+    // bucket sizes via hash-agg + join (no global sort over the skewed key)
+    val sizes = banded.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+    val sized = banded.join(sizes, "bucket")
+    val small = sized.filter(col("bucket_n") <= bucketCap)
+    val big = sized.filter(col("bucket_n") > bucketCap)
 
-    counted.as("a").join(counted.as("b"),
+    val smallPairs = small.as("a").join(small.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("src"), col("b.id").as("dst"),
         col("a.norm").as("norm_a"), col("b.norm").as("norm_b"))
+
+    // sorted-neighborhood inside hot buckets: rank by (norm, id), pair with
+    // the next `neighborWindow` ranks only
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col("norm"), col("id"))
+    val ranked = big.withColumn("rn", row_number().over(w))
+    val bigPairs = ranked.as("a").join(ranked.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("b.rn") > col("a.rn") && col("b.rn") <= col("a.rn") + neighborWindow)
+      .select(
+        least(col("a.id"), col("b.id")).as("src"),
+        greatest(col("a.id"), col("b.id")).as("dst"),
+        col("a.norm").as("norm_a"), col("b.norm").as("norm_b"))
+      .filter(col("src") =!= col("dst"))
+
+    smallPairs.unionByName(bigPairs)
       .distinct()
       .as[(Long, Long, String, String)]
       .flatMap { case (src, dst, na, nb) =>

@@ -93,6 +93,26 @@ class LinkerSpec extends SparkSpec {
     assert(byId("左肺上叶") !== byId("右肺下叶"))
   }
 
+  test("hot LSH buckets switch to sorted-neighborhood pairing (bounded, not dropped)") {
+    import spark.implicits._
+    // 1500 near-identical surfaces share most shingles → one giant bucket
+    val surfaces = (0 until 1500).map(i => f"这是一个很长的实体名称编号$i%04d")
+    val sk = surfaces.toDS().map { s =>
+      val norm = graft.functions.TextNorm.processSentStr(s)
+      Linker.SurfaceKey(s, norm, graft.ops.Hashing.hash64(norm))
+    }
+    val edges = Linker.candidateEdges(sk, bucketCap = 100, neighborWindow = 4,
+      threshold = 0.5)
+    val n = edges.count()
+    // bounded: at most ~W pairs per member per band, nowhere near the
+    // all-pairs 1500*1499/2 ≈ 1.1M
+    assert(n > 0, "hot bucket must still produce candidate edges")
+    assert(n < 1500L * 4 * 8, s"pair count $n not bounded")
+    // numerically adjacent names (lexicographic neighbors) got linked
+    val comp = graft.link.ConnectedComponents.run(edges)
+    assert(comp.select("component").distinct().count() < 1500)
+  }
+
   test("canonicalization is partition-count invariant") {
     import spark.implicits._
     val pages = graft.synth.Corpus.pages(spark, 150, seed = 42, noisyFrac = 0.0).toDF()
