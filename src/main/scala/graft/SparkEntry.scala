@@ -252,6 +252,15 @@ object SparkEntry {
       val triples = Extract.triples(Corpus.pages(s, 300, seed = 42, noisyFrac = 0.0).toDF())
       graft.link.Linker.canonicalTriples(triples).toDF()
     }),
+    "kg_byte_identity" -> ((s, dir) => {
+      // input_hint invariant: text == extractText(html) per url, checked with
+      // native Column expressions over the html binary (zero UDFs)
+      val pages = Corpus.pages(s, 500, seed = 42, noisyFrac = 0.05).toDF()
+      pages.select(
+        count(lit(1)).as("docs"),
+        sum(when(graft.functions.TextNorm.extractText(col("html")) =!= col("text"), 1L)
+          .otherwise(0L)).as("mismatches"))
+    }),
     "kg_eval_pr" -> ((s, dir) => {
       import s.implicits._
       import graft.eval.Metrics
