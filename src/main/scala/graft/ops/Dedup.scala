@@ -146,6 +146,18 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Embedding-cosine near-dup clustering: verified pairs → connected
+    * components → keeper = min id per cluster. */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val pairs = embeddingCosinePairs(df, idCol, vecCol, threshold)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comp = ConnectedComponents.run(pairs)
+    df.select(col(idCol).cast("long").as("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("keeper"))
+  }
+
   /** SimHash near-dup candidates: 64-bit simhash, blocked on 4 16-bit bands
     * (Hamming distance ≤ 3 ⇒ at least one identical band). Returns verified
     * pairs with their Hamming distance. */

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Hashing}
+
+/** Dedup operator suite over crafted corpora with known duplicates. */
+class DedupSpec extends SparkSpec {
+
+  private def docs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups whitespace/case variants") {
+    val df = docs(Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "HELLO\tWORLD"),
+      (4L, "something else")))
+    val got = Dedup.exact(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 1L && got(2L) === 1L && got(3L) === 1L)
+    assert(got(4L) === 4L)
+  }
+
+  test("minhash LSH clusters near-duplicate texts transitively") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    val df = docs(Seq(
+      (10L, base),
+      (11L, base + "tail one"),   // near-dup of 10
+      (12L, base + "tail one !"), // near-dup of 11 (and 10 transitively)
+      (30L, "completely different content about spark catalyst plans " * 6)))
+    val got = Dedup.minhashLsh(df, "doc_id", "text", threshold = 0.6).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(10L) === 10L && got(11L) === 10L && got(12L) === 10L)
+    assert(got(30L) === 30L)
+  }
+
+  test("simhash pairs flag small edits, not distinct docs") {
+    val base = "spark catalyst tungsten codegen shuffle partition broadcast join " * 3
+    val df = docs(Seq(
+      (1L, base), (2L, base.replace("broadcast", "brodcast")),
+      (3L, "unrelated words entirely different topic matter here now " * 3)))
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("embedding near-dup clusters via CC keeper") {
+    import spark.implicits._
+    val v = Array(1f, 0f, 0f, 0f)
+    val v2 = Array(0.99f, 0.1f, 0f, 0f) // cosine ~0.995 with v
+    val w = Array(0f, 1f, 0f, 0f)
+    val df = Seq((1L, v.toSeq), (2L, v2.toSeq), (3L, w.toSeq))
+      .toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDup(df, "vec_id", "embedding", 0.9).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 1L && got(2L) === 1L)
+    assert(got(3L) === 3L)
+  }
+
+  test("hashing primitives are deterministic across calls") {
+    assert(Hashing.hash64("abc") === Hashing.hash64("abc"))
+    assert(Hashing.hash64("abc") !== Hashing.hash64("abd"))
+    assert(Hashing.minhash(Set("ab", "bc"), 4).toSeq ===
+      Hashing.minhash(Set("bc", "ab"), 4).toSeq)
+    assert(Hashing.jaccard(Set("a", "b"), Set("b", "c")) === (1.0 / 3.0))
+    assert(Hashing.simhash(Seq("x", "y")) === Hashing.simhash(Seq("y", "x")))
+  }
+}
