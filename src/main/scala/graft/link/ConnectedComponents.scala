@@ -16,11 +16,38 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** @param edges DataFrame with two numeric columns (src, dst)
+    * @param localThreshold edge count at or below which the component
+    *        computation runs as a driver-side union-find (a few MB of ids)
+    *        instead of iterative distributed joins — the same size-based
+    *        strategy switch AQE applies to joins; each distributed round
+    *        costs several shuffles, pure overhead on small graphs
     * @return DataFrame(id: Long, component: Long) — component = min node id
     *         reachable; covers every node appearing in `edges`.
     */
-  def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 25, localThreshold: Long = 500000L): DataFrame = {
     val spark = edges.sparkSession
+    import spark.implicits._
+
+    if (localThreshold > 0 && edges.count() <= localThreshold) {
+      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        if (a != b) {
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+      }
+      val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+      return nodes.toSeq.map(v => (v, find(v))).toDF("id", "component")
+    }
 
     def canon(df: DataFrame): DataFrame = df
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))

@@ -25,10 +25,14 @@ class CCSpec extends SparkSpec {
 
   private def check(edges: Seq[(Long, Long)]): Unit = {
     import spark.implicits._
-    val got = ConnectedComponents.run(edges.toDF("src", "dst"))
-      .as[(Long, Long)].collect().toMap
+    val df = edges.toDF("src", "dst")
     val want = unionFind(0, edges)
-    assert(got === want)
+    // local fast path AND the distributed star algorithm must both agree
+    val local = ConnectedComponents.run(df).as[(Long, Long)].collect().toMap
+    val dist = ConnectedComponents.run(df, localThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local === want)
+    assert(dist === want)
   }
 
   test("CC matches union-find on random graphs") {
