@@ -125,7 +125,14 @@ object TableIO {
 
     if (manifests.nonEmpty) {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      pending.write.mode("overwrite").partitionBy("bucket").parquet(path)
+      // repartition on the partition column first: a dynamic-partition write
+      // straight from N input tasks emits N×buckets files (catastrophic at
+      // 10^5 tasks × 10^5 buckets); keyed repartition makes it one file per
+      // bucket, and the in-partition sort gives parquet run-length locality
+      pending
+        .repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket"), col(keyCol))
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
     }
     val merged = (prior.map(_.buckets).getOrElse(Seq.empty) ++ manifests)
       .groupBy(_.bucket).map(_._2.last).toSeq
