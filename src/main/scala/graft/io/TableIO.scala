@@ -113,7 +113,7 @@ object TableIO {
     val done = prior.map(_.committed).getOrElse(Set.empty)
 
     val withBucket = df.withColumn("bucket", bucketCol(keyCol, nBuckets))
-    val pending = withBucket.filter(!col("bucket").isin(done.toSeq: _*) || lit(done.isEmpty))
+    val pending = excludeBuckets(withBucket, col("bucket"), done)
 
     // lineage: per-bucket count + order-independent checksum of the key
     val manifests = pending
@@ -148,8 +148,24 @@ object TableIO {
       .filter(s => s.stage == stage && s.nBuckets == nBuckets &&
         s.inputSnapshot == inputSnapshot)
       .map(_.committed).getOrElse(Set.empty)
-    if (done.isEmpty) input
-    else input.filter(!bucketCol(keyCol, nBuckets).isin(done.toSeq: _*))
+    excludeBuckets(input, bucketCol(keyCol, nBuckets), done)
+  }
+
+  /** Filter out rows whose bucket is in `done`. Small sets inline as an
+    * IN-list; large sets (10^4+ buckets at deployment scale) become a
+    * broadcast anti-join to keep the plan size bounded. */
+  private def excludeBuckets(df: DataFrame, bucket: org.apache.spark.sql.Column,
+      done: Set[Int]): DataFrame = {
+    if (done.isEmpty) df
+    else if (done.size <= 1000) df.filter(!bucket.isin(done.toSeq: _*))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val doneDf = broadcast(done.toSeq.toDF("_done_bucket"))
+      df.withColumn("_b", bucket)
+        .join(doneDf, col("_b") === col("_done_bucket"), "left_anti")
+        .drop("_b")
+    }
   }
 
   def readStage(spark: SparkSession, path: String): DataFrame =
