@@ -87,8 +87,13 @@ object Dedup {
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
       .distinct()
 
-    // verify candidates with true jaccard (re-shingle both sides)
+    // verify candidates with true jaccard (re-shingle both sides); restrict
+    // the text table to candidate members first so the full corpus text is
+    // shuffled once (semi-join), not twice
+    val candIds = cand.select(col("src").as("v_id"))
+      .union(cand.select(col("dst").as("v_id"))).distinct()
     val textById = docs.toDF("v_id", "v_text")
+      .join(candIds, Seq("v_id"), "left_semi")
     val verified = cand
       .join(textById.withColumnRenamed("v_id", "src").withColumnRenamed("v_text", "text_a"), "src")
       .join(textById.withColumnRenamed("v_id", "dst").withColumnRenamed("v_text", "text_b"), "dst")
