@@ -180,6 +180,9 @@ object SparkEntry {
       t(s, dir, "documents")
         .groupBy(col("lang"), TextStats.langGuess(col("text")).as("guess"))
         .agg(count(lit(1)).as("n"))),
+    "text_quality_score" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextStats.qualityScore(col("text")).as("quality"))),
     // ---------------------------------------------------------------- dedup
     "dedup_exact_groups" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -192,6 +195,11 @@ object SparkEntry {
     "dedup_embedding_cosine" -> ((s, dir) =>
       Dedup.embeddingCosinePairs(
         t(s, dir, "embeddings").filter(col("vec_id") < 1000), "vec_id", "embedding", 0.45)),
+    // forces the LSH-bucketed scale path (localThreshold=0): never collects
+    // the corpus to the driver — rows-only (hash-seeded banding)
+    "emb_near_dup_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45, localThreshold = 0L)),
     // ---------------------------------------------------------------- skew
     "skew_salted_agg" -> ((s, dir) =>
       graft.ops.Skew.saltedCountSum(t(s, dir, "events"), "event_type", "value", "event_id")
@@ -240,7 +248,11 @@ object SparkEntry {
     "kg_qa_samples" -> ((s, dir) => {
       val pages = Corpus.pages(s, 300, seed = 42, noisyFrac = 0.0).toDF()
       val gold = Corpus.gold(s, 300, seed = 42, noisyFrac = 0.0)
+      // rows-only contract: project the labels array to sortable scalars
+      // (the driver's comparator sorts every column; arrays aren't hashable)
       graft.pipeline.QaGen.qaSamples(pages, gold)
+        .select(col("url"), col("question_type"), col("subject_token"),
+          size(col("labels")).as("n_labels"), to_json(col("labels")).as("labels_json"))
     }),
     "kg_encoded_samples" -> ((s, dir) => {
       val pages = Corpus.pages(s, 300, seed = 42, noisyFrac = 0.0).toDF()
@@ -404,6 +416,17 @@ object SparkEntry {
               ELSE 'latin' END AS guess,
          CAST(count(*) AS BIGINT) AS n
          FROM documents GROUP BY 1, 2""",
+    "text_quality_score" ->
+      """SELECT doc_id, round(greatest(0.0,
+         least(length(text)/500.0, 1.0)
+         * (CASE WHEN (CASE WHEN length(trim(text))=0 THEN 0.0
+              ELSE CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                   / length(string_split_regex(trim(text), '\s+')) END)
+              BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.4 END)
+         * (1.0 - least((CASE WHEN length(text)=0 THEN 0.0
+              ELSE CAST(length(text) - length(regexp_replace(text,'[.!?,;:。，！？；：]','','g')) AS DOUBLE)
+                   / length(text) END) * 4.0, 1.0) * 0.5)), 4) AS quality
+         FROM documents""",
     "dedup_exact_groups" ->
       """SELECT lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm,
          min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS group_size

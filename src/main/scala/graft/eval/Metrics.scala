@@ -84,7 +84,10 @@ object Metrics {
         if (goldS.nonEmpty) goldS.size.toLong else 1L,
         tp)
     } else {
-      val allEqual = s.predLabel.isEmpty || s.predLabel.distinct.length == 1
+      // reference: len(set(pred_label))==1 — an EMPTY pred row is False
+      // (len(set([]))==0), so tp=0; only reachable for zero-length decoded
+      // rows, but the bit-for-bit contract includes it
+      val allEqual = s.predLabel.nonEmpty && s.predLabel.distinct.length == 1
       val tp = if (allEqual) 1L else 0L
       // reference: pred_indices = [] when all-equal, else a 1-element list
       // [get_indices_from_lable(pred, first_nonzero(pred))] — so num_pre is
@@ -126,6 +129,35 @@ object Metrics {
       .withColumn("f1_precise", f1("precision_precise", "recall_precise"))
       .withColumn("f1_blurred", f1("precision_blurred", "recall_blurred"))
   }
+
+  /** Per-sample eval dump — the relational twin of the reference's `res_lst`
+    * rows (utils/evaluate_funcs.py:238-262): decoded gold and pred spans per
+    * sample plus its tp/num counters — the table one actually debugs a P/R
+    * regression with. Span lists serialize as "start:end;start:end" so the
+    * output is flat and sortable. Negative rows decode the pred with its own
+    * first tag id, as the reference does. */
+  def perSampleEval(samples: Dataset[(Int, EvalSample)]): DataFrame = {
+    val spark = samples.sparkSession
+    import spark.implicits._
+    samples.map { case (askedType, s) =>
+      val idx = Spans.indexNumber(s.goldLabel)
+      val goldSpans = if (idx != 0) Spans.indicesFromLabel(s.goldLabel, idx) else Nil
+      val predId = if (idx != 0) idx else Spans.indexNumber(s.predLabel)
+      val predSpans = if (predId != 0) Spans.indicesFromLabel(s.predLabel, predId) else Nil
+      val r = evalRow(s)
+      val t = if (r.questionType != 0) r.questionType else askedType
+      def fmt(sp: Seq[Span]) = sp.map(x => s"${x.start}:${x.end}").mkString(";")
+      (Ontology.id2relation.getOrElse(t, "<unk>"), fmt(goldSpans), fmt(predSpans),
+        r.tpPrecise, r.tpBlurred, r.numPre, r.numGold, r.matchCount)
+    }.toDF("question_type", "answer_gold", "answer_pred",
+      "tp_precise", "tp_blurred", "num_pre", "num_gold", "match_count")
+  }
+
+  /** Persist the per-type metrics table (S6 — the parquet substitute for the
+    * reference's `{sign}_res.json`/xlsx sink, utils/evaluate_funcs.py:297-309)
+    * with TableIO lineage; idempotent per (path, snapshot). */
+  def writePerformance(perType: DataFrame, path: String, snapshot: String = ""): Int =
+    graft.io.TableIO.writeStage(perType, path, "metrics", "question_type", 1, snapshot)
 
   /** Macro scores over ALL 17 types (zero rows included, as the reference
     * iterates the full performance_dic key set) + acc = matched spans /

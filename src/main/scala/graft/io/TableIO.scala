@@ -102,6 +102,13 @@ object TableIO {
     * (their input rows are not recomputed by callers that use
     * [[pendingInput]], and are not rewritten here either).
     *
+    * The input plan is evaluated exactly ONCE (the parquet write) — this is
+    * the production path whose plan contains the inference kernel, so a
+    * second action would double every run's compute. Lineage manifests are
+    * derived AFTER the write from the PERSISTED files, so the checksum
+    * attests the bytes a reader will actually see, not a recomputation that
+    * upstream nondeterminism could diverge from.
+    *
     * @return number of buckets newly committed
     */
   def writeStage(df: DataFrame, path: String, stage: String, keyCol: String,
@@ -115,25 +122,34 @@ object TableIO {
     val withBucket = df.withColumn("bucket", bucketCol(keyCol, nBuckets))
     val pending = excludeBuckets(withBucket, col("bucket"), done)
 
-    // lineage: per-bucket count + order-independent checksum of the key
-    val manifests = pending
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("rowCount"),
-        coalesce(bit_xor(xxhash64(col(keyCol))), lit(0L)).as("checksum"))
-      .collect()
-      .map(r => BucketManifest(r.getInt(0), r.getLong(1), r.getLong(2)))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // repartition on the partition column first: a dynamic-partition write
+    // straight from N input tasks emits N×buckets files (catastrophic at
+    // 10^5 tasks × 10^5 buckets); keyed repartition makes it one file per
+    // bucket, and the in-partition sort gives parquet run-length locality
+    pending
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col(keyCol))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
-    if (manifests.nonEmpty) {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      // repartition on the partition column first: a dynamic-partition write
-      // straight from N input tasks emits N×buckets files (catastrophic at
-      // 10^5 tasks × 10^5 buckets); keyed repartition makes it one file per
-      // bucket, and the in-partition sort gives parquet run-length locality
-      pending
-        .repartition(col("bucket"))
-        .sortWithinPartitions(col("bucket"), col(keyCol))
-        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    // lineage from the written files: per-bucket count + order-independent
+    // checksum of the key, over the NEW buckets only (a column-pruned scan
+    // of keyCol; bucket is a partition column, so the small-done-set filter
+    // prunes committed partitions at planning time)
+    val base = new Path(path)
+    val hasData = {
+      val f = fs(spark, base)
+      f.exists(base) && f.listStatus(base).exists(_.getPath.getName.startsWith("bucket="))
     }
+    val manifests =
+      if (!hasData) Array.empty[BucketManifest]
+      else excludeBuckets(readStage(spark, path), col("bucket"), done)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("rowCount"),
+          coalesce(bit_xor(xxhash64(col(keyCol))), lit(0L)).as("checksum"))
+        .collect()
+        .map(r => BucketManifest(r.getInt(0), r.getLong(1), r.getLong(2)))
+
     val merged = (prior.map(_.buckets).getOrElse(Seq.empty) ++ manifests)
       .groupBy(_.bucket).map(_._2.last).toSeq
     writeSnapshot(spark, path, Snapshot(stage, inputSnapshot, nBuckets, merged))

@@ -65,9 +65,11 @@ object Linker {
       }
     }.toDF("bucket", "id", "norm")
 
-    // bucket sizes via hash-agg + join (no global sort over the skewed key)
+    // bucket sizes via hash-agg + join (no global sort over the skewed key);
+    // persisted: the small/big split and the (eager) hot-bucket ranking all
+    // reuse one evaluation of the upstream surfaces pipeline
     val sizes = banded.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
-    val sized = banded.join(sizes, "bucket")
+    val sized = banded.join(sizes, "bucket").persist()
     val small = sized.filter(col("bucket_n") <= bucketCap)
     val big = sized.filter(col("bucket_n") > bucketCap)
 
@@ -77,20 +79,21 @@ object Linker {
         col("a.norm").as("norm_a"), col("b.norm").as("norm_b"))
 
     // sorted-neighborhood inside hot buckets: rank by (norm, id), pair with
-    // the next `neighborWindow` ranks only
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("bucket").orderBy(col("norm"), col("id"))
-    val ranked = big.withColumn("rn", row_number().over(w))
-    val bigPairs = ranked.as("a").join(ranked.as("b"),
-        col("a.bucket") === col("b.bucket") &&
-          col("b.rn") > col("a.rn") && col("b.rn") <= col("a.rn") + neighborWindow)
-      .select(
-        least(col("a.id"), col("b.id")).as("src"),
-        greatest(col("a.id"), col("b.id")).as("dst"),
-        col("a.norm").as("norm_a"), col("b.norm").as("norm_b"))
-      .filter(col("src") =!= col("dst"))
+    // the next `neighborWindow` ranks only. The rank itself is computed with
+    // the two-pass bounded scheme in [[graft.ops.Neighborhood]] — a naive
+    // per-bucket window would place the entire oversized bucket on ONE task
+    // (e.g. a billion empty-string norms sorting on one core)
+    val bigPairs =
+      if (big.isEmpty) smallPairs.limit(0) // cached probe; skip the eager rank jobs
+      else graft.ops.Neighborhood.sortedNeighborhoodPairs(
+          big.select(col("bucket"), col("id"), col("norm").as("sort")), neighborWindow)
+        .select(col("src"), col("dst"),
+          col("sort_a").as("norm_a"), col("sort_b").as("norm_b"))
 
-    smallPairs.unionByName(bigPairs)
+    // eager checkpoint: ConnectedComponents materializes the edge set right
+    // away anyway (size probe + iterations), and checkpointing here lets the
+    // sized cache be released deterministically
+    val edges = smallPairs.unionByName(bigPairs)
       .distinct()
       .as[(Long, Long, String, String)]
       .flatMap { case (src, dst, na, nb) =>
@@ -98,6 +101,9 @@ object Linker {
           Hashing.charShingles(na, shingleN), Hashing.charShingles(nb, shingleN))
         if (j >= threshold) Some((src, dst)) else None
       }.toDF("src", "dst")
+      .localCheckpoint()
+    sized.unpersist()
+    edges
   }
 
   /** surface → (canonical id, canonical surface). Canonical surface is the

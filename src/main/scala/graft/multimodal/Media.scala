@@ -90,8 +90,11 @@ object Media {
     * with realistic shapes. Swap body for libjpeg/ffmpeg on a real cluster. */
   def decodeStub(meta: MediaMeta, payload: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](math.max(meta.width * meta.height, 1))
+    // poison-pill tolerance: a valid header with an EMPTY payload decodes to
+    // the zeroed buffer instead of an out-of-bounds index
+    if (payload.isEmpty) return out
     var i = 0
-    while (i < out.length) { out(i) = payload(i % math.max(payload.length, 1)); i += 1 }
+    while (i < out.length) { out(i) = payload(i % payload.length); i += 1 }
     out
   }
 

@@ -58,34 +58,61 @@ object Dedup {
 
   /** MinHash+LSH near-dup clustering: shingle → k minhash lanes → `bands`
     * banded keys → bucket self-join → jaccard-verified edges → connected
-    * components. Returns (docId, keeper). */
+    * components. Returns (docId, keeper).
+    *
+    * Hot-bucket guard (same discipline as `graft.link.Linker.candidateEdges`):
+    * a boilerplate-heavy bucket of n docs would emit O(n²) pairs in the
+    * self-join. Buckets above `bucketCap` switch to sorted-neighborhood
+    * pairing over the full minhash signature ([[Neighborhood]] — bounded
+    * two-pass rank, block join): near-identical docs have near-identical
+    * signatures and sort adjacently, so recall stays high at O(n·W) pairs.
+    * False candidates from either path are removed by exact-jaccard
+    * verification, so the cap changes cost, not correctness of emitted edges.
+    */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, bucketCap: Int = 1000,
+      neighborWindow: Int = 8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     require(k % bands == 0)
     val rowsPerBand = k / bands
 
     val docs = df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
-      .as[(Long, String)]
+      .as[(Long, String)].persist()
     // minhash signature per doc — computed in one pass, no shuffle
     val sigs = docs.map { case (id, text) =>
       val sh = Hashing.charShingles(text.toLowerCase, shingleN)
       (id, Hashing.minhash(sh, k))
     }.toDF("doc_id", "sig")
 
-    // band keys: hash of each signature slice
-    val banded = sigs.select(col("doc_id"), posexplode(array(
-      (0 until bands).map(b => xxhash64(concat(lit(s"band$b"),
-        slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast("string")))): _*)))
-      .toDF("doc_id", "band", "bucket")
+    // band keys (hash of each signature slice) + the full signature as a
+    // sort key for hot-bucket sorted-neighborhood
+    val banded = sigs.select(col("doc_id"),
+        concat_ws(",", col("sig").cast("array<string>")).as("sort_key"),
+        posexplode(array(
+          (0 until bands).map(b => xxhash64(concat(lit(s"band$b"),
+            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast("string")))): _*)))
+      .toDF("doc_id", "sort_key", "band", "bucket")
 
-    val cand = banded.as("a").join(banded.as("b"),
+    val sizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("bucket_n"))
+    val sized = banded.join(sizes, Seq("band", "bucket")).persist()
+    val small = sized.filter(col("bucket_n") <= bucketCap)
+    val big = sized.filter(col("bucket_n") > bucketCap)
+
+    val smallPairs = small.as("a").join(small.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.band") === col("b.band") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-      .distinct()
+
+    val bigPairs =
+      if (big.isEmpty) smallPairs.limit(0) // cached probe; skip the rank jobs
+      else graft.ops.Neighborhood.sortedNeighborhoodPairs(
+          big.select(xxhash64(col("band"), col("bucket")).as("bucket"),
+            col("doc_id").as("id"), col("sort_key").as("sort")), neighborWindow)
+        .select(col("src"), col("dst"))
+
+    val cand = smallPairs.unionByName(bigPairs).distinct().persist()
 
     // verify candidates with true jaccard (re-shingle both sides); restrict
     // the text table to candidate members first so the full corpus text is
@@ -104,15 +131,20 @@ object Dedup {
           Hashing.charShingles(tb.toLowerCase, shingleN))
         if (j >= threshold) Some((src, dst)) else None
       }.toDF("src", "dst")
+      .localCheckpoint() // eager: one evaluation of the verify plan, then CC
+                         // iterates over the checkpointed edges only
 
     val comp = ConnectedComponents.run(verified)
-    docs.toDF("doc_id", "text").select("doc_id")
+    val out = df.select(col(idCol).cast("long").as("doc_id"))
       .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("keeper"))
+    sized.unpersist(); cand.unpersist(); docs.unpersist()
+    out
   }
 
-  /** Embedding-cosine near-dup pairs — exact O(n²) baseline (the scale path
-    * is [[graft.ops.Similarity.lshTopK]]-style bucketing). The smaller side
+  /** Embedding-cosine near-dup pairs — exact O(n²) baseline for BOUNDED
+    * inputs (callers must cap rows; [[embeddingNearDup]] size-switches to
+    * [[embeddingCosinePairsLsh]] above its localThreshold). The smaller side
     * is broadcast and the dot products run as tight primitive loops inside
     * mapPartitions: higher-order-function cosine is interpreted per element
     * and ~50× slower at 10^5+ pairs. Double-precision, ascending-index
@@ -151,23 +183,110 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
 
+  /** Embedding-cosine near-dup pairs via random-hyperplane LSH banding — the
+    * 10^7+-vector scale path: O(vectors × bands) band fan-out, bucket
+    * equi-join (hot buckets capped via [[Neighborhood]] sorted-neighborhood
+    * on the signature's binary string, which is Hamming-local on high bits),
+    * exact-cosine verification of candidates only. Nothing is ever collected
+    * to the driver.
+    *
+    * Recall note: banding is probabilistic — tuned for genuine near-dups
+    * (cosine ≳ 0.85, where 8 bands × 8 sign bits give >90% recall); at lower
+    * thresholds candidates are found with decaying probability, which is the
+    * standard LSH trade (use [[embeddingCosinePairs]] exhaustively on bounded
+    * inputs when exactness is required). */
+  def embeddingCosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 64, bands: Int = 8,
+      bucketCap: Int = 2000, neighborWindow: Int = 8): DataFrame = {
+    require(bits % bands == 0 && bits <= 64)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bandBits = bits / bands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+
+    val vecs = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])].persist()
+    val sigs = vecs.mapPartitions(_.map { case (id, v) =>
+      (id, Similarity.signBitsLocal(v, bits))
+    }).toDF("id", "sig")
+    val banded = sigs.select(col("id"),
+        lpad(bin(col("sig")), 64, "0").as("sort_key"),
+        posexplode(array((0 until bands).map(b =>
+          shiftrightunsigned(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*)))
+      .toDF("id", "sort_key", "band", "key")
+
+    val sizes = banded.groupBy("band", "key").agg(count(lit(1)).as("bucket_n"))
+    val sized = banded.join(sizes, Seq("band", "key")).persist()
+    val small = sized.filter(col("bucket_n") <= bucketCap)
+    val big = sized.filter(col("bucket_n") > bucketCap)
+
+    val smallPairs = small.as("a").join(small.as("b"),
+        col("a.key") === col("b.key") && col("a.band") === col("b.band") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val bigPairs =
+      if (big.isEmpty) smallPairs.limit(0)
+      else Neighborhood.sortedNeighborhoodPairs(
+          big.select(xxhash64(col("band"), col("key")).as("bucket"),
+            col("id"), col("sort_key").as("sort")), neighborWindow)
+        .select(col("src").as("id_a"), col("dst").as("id_b"))
+    val cand = smallPairs.unionByName(bigPairs).distinct()
+
+    // exact-cosine verification of candidates only (primitive loops,
+    // ascending-index accumulation like the exact path)
+    val candIds = cand.select(col("id_a").as("v_id"))
+      .union(cand.select(col("id_b").as("v_id"))).distinct()
+    val vecById = vecs.toDF("v_id", "v_vec").join(candIds, Seq("v_id"), "left_semi")
+    val verified = cand
+      .join(vecById.withColumnRenamed("v_id", "id_a").withColumnRenamed("v_vec", "va"), "id_a")
+      .join(vecById.withColumnRenamed("v_id", "id_b").withColumnRenamed("v_vec", "vb"), "id_b")
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .mapPartitions(_.flatMap { case (idB, idA, va, vb) =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < va.length) {
+          dot += va(i) * vb(i); na += va(i) * va(i); nb += vb(i) * vb(i); i += 1
+        }
+        val c =
+          if (na == 0 || nb == 0) 0.0
+          else BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (c >= threshold) Some((idA, idB, c)) else None
+      }).toDF("id_a", "id_b", "cosine")
+      .localCheckpoint() // eager: lets the caches release deterministically
+    sized.unpersist(); vecs.unpersist()
+    verified.select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+
   /** Embedding-cosine near-dup clustering: verified pairs → connected
-    * components → keeper = min id per cluster. */
+    * components → keeper = min id per cluster. Size-switched like
+    * [[graft.link.ConnectedComponents.run]]: the exact broadcast pair loop
+    * below `localThreshold` rows, the LSH-bucketed path above (never a
+    * driver-side collect of unbounded input). */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
-    val pairs = embeddingCosinePairs(df, idCol, vecCol, threshold)
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      threshold: Double, localThreshold: Long = 100000L): DataFrame = {
+    val exact = localThreshold > 0 && df.count() <= localThreshold
+    val pairs =
+      (if (exact) embeddingCosinePairs(df, idCol, vecCol, threshold)
+       else embeddingCosinePairsLsh(df, idCol, vecCol, threshold))
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
     val comp = ConnectedComponents.run(pairs)
     df.select(col(idCol).cast("long").as("doc_id"))
       .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("keeper"))
   }
 
-  /** SimHash near-dup candidates: 64-bit simhash, blocked on 4 16-bit bands
-    * (Hamming distance ≤ 3 ⇒ at least one identical band). Returns verified
-    * pairs with their Hamming distance. */
+  /** SimHash near-dup candidates: 64-bit simhash, blocked on `maxHamming+1`
+    * bands — by pigeonhole, any pair at Hamming distance ≤ maxHamming shares
+    * at least one whole band, so recall at the requested radius is GUARANTEED
+    * (not probabilistic). Returns verified pairs with their Hamming distance.
+    *
+    * Cost note: band width is ⌊64/(maxHamming+1)⌋, so candidate volume grows
+    * as corpus²/2^width per band — keep maxHamming modest (≤ ~15) at corpus
+    * scale, or accept the wider candidate set as the price of full recall. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
     val spark = df.sparkSession
     import spark.implicits._
     val sigs = df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
@@ -175,8 +294,19 @@ object Dedup {
       .map { case (id, text) =>
         (id, Hashing.simhash(text.toLowerCase.split("\\W+").filter(_.nonEmpty)))
       }.toDF("doc_id", "sim")
-    val banded = sigs.select(col("doc_id"), col("sim"), posexplode(array(
-      (0 until 4).map(b => shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+    // bands of near-equal width covering all 64 bits (first `rem` bands get
+    // the extra bit)
+    val bands = maxHamming + 1
+    val base = 64 / bands
+    val rem = 64 % bands
+    val widths = Array.tabulate(bands)(b => if (b < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    val keyCols = (0 until bands).map { b =>
+      if (widths(b) == 64) col("sim")
+      else shiftrightunsigned(col("sim"), offsets(b))
+        .bitwiseAND(lit((1L << widths(b)) - 1))
+    }
+    val banded = sigs.select(col("doc_id"), col("sim"), posexplode(array(keyCols: _*)))
       .toDF("doc_id", "sim", "band", "key")
     banded.as("a").join(banded.as("b"),
         col("a.key") === col("b.key") && col("a.band") === col("b.band") &&

@@ -26,16 +26,47 @@ object Similarity {
 
   /** Exact brute-force top-k: for every query vector, the k nearest corpus
     * vectors by cosine. Query side is broadcast — corpus never shuffles.
-    * Tie-breaking is deterministic: (rounded score desc, corpus id asc). */
+    * Tie-breaking is deterministic: (rounded score desc, corpus id asc).
+    *
+    * Scale shape: scoring stays where the corpus rows are; each partition
+    * keeps only its LOCAL top-k per query (bounded heap), so the only
+    * exchange is over ≤ k × partitions × queries survivor rows — never the
+    * full corpus×queries scored set. The final ranking window runs over
+    * that small survivor set only. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
+      .select(col("query_id").cast("long"), col("corpus_id").cast("long"), col("score"))
+      .as[(Long, Long, Double)]
+    // per-partition bounded top-k: worst element first, so `head` is the
+    // eviction candidate; ordering mirrors the final (score desc, id asc)
+    val partial = scored.mapPartitions { it =>
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+      // PriorityQueue.head is the MAX per ordering; make "worse" the max:
+      // lowest score first, then highest id among equal scores
+      val worstFirst = Ordering.by[(Double, Long), (Double, Long)] {
+        case (s, id) => (-s, id)
+      }
+      it.foreach { case (qid, cid, s) =>
+        val h = heaps.getOrElseUpdate(qid,
+          scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+        if (h.size < k) h.enqueue((s, cid))
+        else {
+          val (ws, wid) = h.head
+          if (s > ws || (s == ws && cid < wid)) { h.dequeue(); h.enqueue((s, cid)) }
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) => h.iterator.map(e => (qid, e._2, e._1)) }
+    }.toDF("query_id", "corpus_id", "score")
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    partial.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), col("score"), col("rank"))
   }
@@ -55,6 +86,25 @@ object Similarity {
       when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
     }
     sigs.reduce(_.bitwiseOR(_))
+  }
+
+  /** Plain-Scala twin of [[signBits]] (identical hyperplanes and bit layout)
+    * for hot mapPartitions paths where per-row primitive loops beat the
+    * interpreted higher-order-function expression. */
+  def signBitsLocal(v: Array[Double], bits: Int): Long = {
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var dot = 0.0
+      var i = 0
+      while (i < v.length) {
+        dot += v(i) * math.sin((i + 1.0) * ((b + 1) * 12.9898) + 78.233)
+        i += 1
+      }
+      if (dot >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
   }
 
   /** IVF (inverted-file) approximate top-k — the 10^9-vector scale path:

@@ -95,6 +95,11 @@ object Extract {
     * run_qa.py:436-496). */
   def extractDoc(url: String, text: String, gaz: Gazetteer, kernel: Kernel,
       cfg: ExtractorConfig): List[Triple] = {
+    // O6 (run_qa.py:488-496) — the subject-only-triple else-branch — is
+    // intentionally NOT carried over: it fires only when
+    // question_turn[type] == [] and every subject type in the reference's
+    // own ontology has turn-2 relations (data/data_utils.py:108-126), so the
+    // branch is dead under the reference's shipped configuration.
     val out = mutable.LinkedHashSet.empty[Triple] // J4 dedup
     turn1(text, gaz, kernel, cfg).foreach { case (st, mentions) =>
       mentions.foreach { m =>
@@ -106,13 +111,18 @@ object Extract {
     out.toList
   }
 
-  /** The whole extractor: one shuffle-free mapPartitions over prepared docs. */
-  def triples(pages: DataFrame, cfg: ExtractorConfig = ExtractorConfig()): Dataset[Triple] = {
-    val spark = pages.sparkSession
+  /** The inference barrier alone, over an already-[[prepare]]d (url, text)
+    * frame — split out so callers can observe/instrument the prepared stage. */
+  def triplesFromPrepared(prepared: DataFrame, cfg: ExtractorConfig = ExtractorConfig()): Dataset[Triple] = {
+    val spark = prepared.sparkSession
     import spark.implicits._
-    prepare(pages, cfg).as[(String, String)].mapPartitions { docs =>
+    prepared.as[(String, String)].mapPartitions { docs =>
       val (gaz, kernel) = ExtractorModel.get(cfg.kernel)
       docs.flatMap { case (url, text) => extractDoc(url, text, gaz, kernel, cfg) }
     }
   }
+
+  /** The whole extractor: one shuffle-free mapPartitions over prepared docs. */
+  def triples(pages: DataFrame, cfg: ExtractorConfig = ExtractorConfig()): Dataset[Triple] =
+    triplesFromPrepared(prepare(pages, cfg), cfg)
 }

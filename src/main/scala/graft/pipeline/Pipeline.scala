@@ -1,6 +1,7 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.io.TableIO
 import graft.link.Linker
@@ -27,35 +28,70 @@ object Pipeline {
   def triplesDir(cfg: Config): String = s"${cfg.workDir}/triples"
   def canonicalDir(cfg: Config): String = s"${cfg.workDir}/canonical_triples"
 
-  /** Runs (or resumes) the extract stage. Returns buckets newly committed. */
-  def runExtract(pages: DataFrame, cfg: Config): Int = {
+  /** In-flight per-stage named metrics (S9): rows observed at each plan
+    * point during the single evaluation of the stage — the thing an operator
+    * watches, complementing the persisted TableIO lineage manifests. */
+  final case class StageRun(newBuckets: Int, metrics: Map[String, Long])
+
+  private def observedCount(obs: Observation): Long =
+    obs.get.get("rows").collect { case l: Long => l }.getOrElse(0L)
+
+  /** Runs (or resumes) the extract stage. Returns buckets newly committed
+    * plus the observed rows entering the inference barrier and triples out —
+    * collected via `df.observe()` during the ONE evaluation the stage
+    * performs (no extra jobs).
+    *
+    * Placement note (100 TB): a CollectMetrics node is a predicate-pushdown
+    * BARRIER (verified on Spark 4.1 — filters above it reach the scan as
+    * `PushedFilters: []`). Observing PRE-filter row counts would therefore
+    * force the scan to read every row, defeating partition/row-group pruning
+    * of the prepare filters. Both observation points sit ABOVE all
+    * pushdown-eligible filters, so the scan plan is byte-identical to the
+    * un-instrumented one. */
+  def runExtract(pages: DataFrame, cfg: Config): StageRun = {
+    val obsPrep = Observation()
+    val obsOut = Observation()
     val pending = TableIO.pendingInput(pages, "url", triplesDir(cfg), "extract",
       cfg.nBuckets, cfg.inputSnapshot)
-    val triples = Extract.triples(pending, cfg.extractor)
-    TableIO.writeStage(triples.toDF(), triplesDir(cfg), "extract", "url",
+    val prepared = Extract.prepare(pending, cfg.extractor)
+      .observe(obsPrep, count(lit(1)).as("rows"))
+    val triples = Extract.triplesFromPrepared(prepared, cfg.extractor).toDF()
+      .observe(obsOut, count(lit(1)).as("rows"))
+    val n = TableIO.writeStage(triples, triplesDir(cfg), "extract", "url",
       cfg.nBuckets, cfg.inputSnapshot)
+    StageRun(n, Map(
+      "extract_rows_prepared" -> observedCount(obsPrep),
+      "extract_triples_out" -> observedCount(obsOut)))
   }
 
   /** Runs (or skips) the canonicalize stage over the full triples table. */
-  def runCanonicalize(spark: SparkSession, cfg: Config): Int = {
+  def runCanonicalize(spark: SparkSession, cfg: Config): StageRun = {
     val done = TableIO.readSnapshot(spark, canonicalDir(cfg))
       .exists(s => s.stage == "canonicalize" && s.inputSnapshot == cfg.inputSnapshot &&
         s.buckets.nonEmpty)
-    if (done) 0
+    if (done) StageRun(0, Map.empty)
     else {
       import spark.implicits._
+      val obsIn = Observation()
+      val obsOut = Observation()
       val triples = TableIO.readStage(spark, triplesDir(cfg))
         .select("url", "subjectType", "subject", "relation", "objectType", "obj")
+        .observe(obsIn, count(lit(1)).as("rows"))
         .as[Triple]
-      val canonical = Linker.canonicalTriples(triples)
-      TableIO.writeStage(canonical.toDF(), canonicalDir(cfg), "canonicalize",
+      val canonical = Linker.canonicalTriples(triples).toDF()
+        .observe(obsOut, count(lit(1)).as("rows"))
+      val n = TableIO.writeStage(canonical, canonicalDir(cfg), "canonicalize",
         "subject", math.max(cfg.nBuckets / 8, 1), cfg.inputSnapshot)
+      StageRun(n, Map(
+        "link_triples_in" -> observedCount(obsIn),
+        "link_canonical_out" -> observedCount(obsOut)))
     }
   }
 
-  /** Full run (idempotent / resumable). */
-  def run(pages: DataFrame, cfg: Config): Unit = {
-    runExtract(pages, cfg)
-    runCanonicalize(pages.sparkSession, cfg)
+  /** Full run (idempotent / resumable). Returns the per-stage metrics. */
+  def run(pages: DataFrame, cfg: Config): Map[String, Long] = {
+    val e = runExtract(pages, cfg)
+    val c = runCanonicalize(pages.sparkSession, cfg)
+    e.metrics ++ c.metrics
   }
 }

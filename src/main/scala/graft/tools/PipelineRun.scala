@@ -26,15 +26,19 @@ object PipelineRun {
 
     val pendingBefore = TableIO.pendingInput(pages, "url", Pipeline.triplesDir(cfg),
       "extract", cfg.nBuckets, cfg.inputSnapshot).count()
-    val newBuckets = Pipeline.runExtract(pages, cfg)
-    val canonNew = if (bucketLimit.isEmpty) Pipeline.runCanonicalize(spark, cfg) else 0
+    val extractRun = Pipeline.runExtract(pages, cfg)
+    val canonRun =
+      if (bucketLimit.isEmpty) Pipeline.runCanonicalize(spark, cfg)
+      else Pipeline.StageRun(0, Map.empty)
     val triples = TableIO.readStage(spark, Pipeline.triplesDir(cfg)).count()
     val audit = TableIO.auditStage(spark, Pipeline.triplesDir(cfg), "url")
     val canon = if (bucketLimit.isEmpty)
       TableIO.readStage(spark, Pipeline.canonicalDir(cfg)).count() else -1L
-    println(s"[pipeline] pendingInputRows=$pendingBefore newBuckets=$newBuckets " +
-      s"triplesTotal=$triples canonicalNewBuckets=$canonNew canonicalRows=$canon " +
-      s"auditBadBuckets=${audit.mkString(",")} ok=${audit.isEmpty}")
+    val stageMetrics = (extractRun.metrics ++ canonRun.metrics)
+      .toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" ")
+    println(s"[pipeline] pendingInputRows=$pendingBefore newBuckets=${extractRun.newBuckets} " +
+      s"triplesTotal=$triples canonicalNewBuckets=${canonRun.newBuckets} canonicalRows=$canon " +
+      s"$stageMetrics auditBadBuckets=${audit.mkString(",")} ok=${audit.isEmpty}")
     spark.stop()
   }
 }

@@ -59,6 +59,64 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) === 3L)
   }
 
+  test("minhash LSH hot bucket (identical docs) is capped, clustering unchanged") {
+    import spark.implicits._
+    // 2000 identical docs land in ONE bucket per band — far above bucketCap,
+    // so the sorted-neighborhood path must engage; adjacency edges still
+    // chain the whole group into one component (keeper = min id)
+    val boiler = "identical boilerplate navigation footer text repeated " * 3
+    val df = ((0 until 2000).map(i => (i.toLong, boiler)) :+
+      (5000L, "совершенно unrelated unique content about catalyst plans " * 3))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashLsh(df, "doc_id", "text", threshold = 0.6, bucketCap = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0 until 2000).forall(i => got(i.toLong) === 0L),
+      "hot-bucket members must still cluster transitively")
+    assert(got(5000L) === 5000L)
+  }
+
+  test("simhash banding finds EVERY pair within maxHamming (exact vs blocked)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron")
+    // clusters of small perturbations → plenty of pairs at Hamming 1..12
+    val texts = (0 until 20).flatMap { g =>
+      val base = (0 until 10).map(_ => vocab(rng.nextInt(vocab.size)))
+      (0 until 3).map { v =>
+        val t = base.updated(rng.nextInt(base.size), vocab(rng.nextInt(vocab.size)))
+        ((g * 3 + v).toLong, t.mkString(" "))
+      }
+    }
+    val maxHamming = 12
+    // exact ground truth with the operator's own tokenization
+    val sims = texts.map { case (id, t) =>
+      id -> Hashing.simhash(t.toLowerCase.split("\\W+").filter(_.nonEmpty))
+    }
+    val want = (for {
+      (ia, sa) <- sims; (ib, sb) <- sims if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= maxHamming
+    } yield (ia, ib)).toSet
+    assert(want.nonEmpty, "test corpus must contain close pairs")
+    val got = Dedup.simhashPairs(texts.toDF("doc_id", "text"), "doc_id", "text",
+        maxHamming).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === want, s"missing=${(want -- got).size} extra=${(got -- want).size}")
+  }
+
+  test("embedding near-dup LSH path (no driver collect) clusters like exact") {
+    import spark.implicits._
+    val v = Array(1f, 0f, 0f, 0f)
+    val v2 = Array(0.99f, 0.1f, 0f, 0f)
+    val w = Array(0f, 1f, 0f, 0f)
+    val df = Seq((1L, v.toSeq), (2L, v2.toSeq), (3L, w.toSeq))
+      .toDF("vec_id", "embedding")
+    // localThreshold = 0 forces the LSH-bucketed path
+    val got = Dedup.embeddingNearDup(df, "vec_id", "embedding", 0.9, localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === 1L && got(2L) === 1L)
+    assert(got(3L) === 3L)
+  }
+
   test("hashing primitives are deterministic across calls") {
     assert(Hashing.hash64("abc") === Hashing.hash64("abc"))
     assert(Hashing.hash64("abc") !== Hashing.hash64("abd"))

@@ -57,6 +57,42 @@ class MetricsSpec extends SparkSpec {
     assert(m.getAs[Long]("num_gold") === 1)
   }
 
+  test("per-sample eval dump decodes gold/pred spans per row (res_lst twin)") {
+    import spark.implicits._
+    val gold = Array(0, 0, 8, 9, 0, 0)
+    val rows = Metrics.perSampleEval(spark.createDataset(Seq(
+      (8, EvalSample(8, gold, gold)),
+      (8, EvalSample(8, Array(0, 0, 0, 0), Array(1, 1, 1, 1)))))).collect()
+    val pos = rows.find(_.getAs[String]("answer_gold").nonEmpty).get
+    assert(pos.getAs[String]("question_type") === "Size")
+    assert(pos.getAs[String]("answer_gold") === "2:4")
+    assert(pos.getAs[String]("answer_pred") === "2:4")
+    assert(pos.getAs[Long]("tp_precise") === 1)
+    val neg = rows.find(_.getAs[String]("answer_gold").isEmpty).get
+    assert(neg.getAs[Long]("tp_precise") === 1) // all-equal pred row quirk
+    assert(neg.getAs[Long]("num_pre") === 1 && neg.getAs[Long]("num_gold") === 1)
+  }
+
+  test("empty pred row on a negative sample scores tp=0 (len(set([])) != 1)") {
+    val m = perf(Seq((8, EvalSample(8, Array(0, 0), Array.empty[Int]))))("Size")
+    assert(m.getAs[Long]("tp_precise") === 0)
+    assert(m.getAs[Long]("num_pre") === 1 && m.getAs[Long]("num_gold") === 1)
+  }
+
+  test("per-type metrics persist via TableIO and read back (S6 sink)") {
+    import spark.implicits._
+    val gold = Array(0, 8, 9, 0)
+    val perType = Metrics.computePerformance(
+      spark.createDataset(Seq((8, EvalSample(8, gold, gold)))))
+    val dir = java.nio.file.Files.createTempDirectory("graft-metrics").toString + "/m1"
+    assert(Metrics.writePerformance(perType, dir) === 1)
+    val back = graft.io.TableIO.readStage(spark, dir)
+    assert(back.count() === 1)
+    assert(back.select("question_type").as[String].collect() === Array("Size"))
+    assert(back.columns.contains("f1_precise"))
+    assert(graft.io.TableIO.auditStage(spark, dir, "question_type") === Seq.empty)
+  }
+
   test("macro scores average over all 17 types including absent ones") {
     val gold = Array(0, 8, 9, 0)
     val perType = {

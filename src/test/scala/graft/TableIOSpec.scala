@@ -101,8 +101,39 @@ class TableIOSpec extends SparkSpec {
     assert(resumed === fresh)
 
     // canonicalize runs once, then is skipped
-    assert(Pipeline.runCanonicalize(spark, cfg) > 0)
-    assert(Pipeline.runCanonicalize(spark, cfg) === 0)
+    assert(Pipeline.runCanonicalize(spark, cfg).newBuckets > 0)
+    assert(Pipeline.runCanonicalize(spark, cfg).newBuckets === 0)
     assert(TableIO.readStage(spark, Pipeline.canonicalDir(cfg)).count() > 0)
+  }
+
+  test("writeStage evaluates the input plan exactly ONCE (inference runs 1x)") {
+    import spark.implicits._
+    val dir = tmpDir() + "/t5"
+    // stand-in for the inference kernel: count every row the plan produces
+    val acc = spark.sparkContext.longAccumulator("kernel-evals")
+    val df = (0 until 300).map(i => (s"url-$i", i.toLong)).toDF("url", "v")
+      .as[(String, Long)].map { r => acc.add(1); r }.toDF("url", "v")
+    TableIO.writeStage(df, dir, "s1", "url", 8)
+    assert(acc.value === 300L,
+      s"input plan ran ${acc.value / 300.0}x — the write must be the only evaluation")
+    // and the manifest (derived from the persisted files) still audits clean
+    assert(TableIO.auditStage(spark, dir, "url") === Seq.empty)
+    assert(TableIO.readStage(spark, dir).count() === 300)
+    assert(TableIO.readSnapshot(spark, dir).get.committed === (0 until 8).toSet)
+  }
+
+  test("pipeline stage metrics are observed during the single evaluation") {
+    val dir = tmpDir() + "/p2"
+    val cfg = Pipeline.Config(dir, nBuckets = 4)
+    val pages = Corpus.pages(spark, 60, seed = 42, noisyFrac = 0.0).toDF()
+    val run = Pipeline.runExtract(pages, cfg)
+    assert(run.metrics("extract_rows_prepared") <= 60L)
+    assert(run.metrics("extract_rows_prepared") > 0L)
+    assert(run.metrics("extract_triples_out") ===
+      TableIO.readStage(spark, Pipeline.triplesDir(cfg)).count())
+    val canon = Pipeline.runCanonicalize(spark, cfg)
+    assert(canon.metrics("link_triples_in") === run.metrics("extract_triples_out"))
+    assert(canon.metrics("link_canonical_out") ===
+      TableIO.readStage(spark, Pipeline.canonicalDir(cfg)).count())
   }
 }
