@@ -35,9 +35,14 @@ object Bench {
     // absorb session/codegen warm-up so the first query isn't over-charged
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // SPARK_GRAFT_BENCH_QUERIES=a,b,c restricts the battery (iteration aid)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
     val results =
       if (kgOnly) Seq.empty[(String, Double)]
-      else SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      else SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .map { case (name, fn) =>
         val (_, sec) = time {
           try fn(spark, sfDir).count()
           catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1L }
@@ -72,6 +77,16 @@ object Bench {
       spark = session(c)
       val (t, s) = kgRun(spark, kgDocs)
       (t, s, t / s)
+    }
+    // SPARK_GRAFT_BENCH_MODE=ops: battery only (iteration aid — skip the
+    // three scaling rounds and print the ops JSON immediately)
+    if (sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("ops")) {
+      val qs0 = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val total0 = results.map(_._2).filter(_ >= 0).sum
+      println(f"""{"metric":"total","value":$total0%.3f,"unit":"sec","queries":$qs0,"sf":"$sfDir"}""")
+      spark.stop()
+      return
     }
     // three rounds, alternating run order, so host-load drift during a round
     // biases alternate rounds in opposite directions; best round reported,

@@ -221,8 +221,11 @@ object SparkEntry {
     "lsh_minhash_dedup" -> ((s, dir) =>
       Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 8, k = 16, bands = 4, threshold = 0.2)),
+    // maxHamming=3: the standard simhash near-dup radius (Manku et al.,
+    // WWW'07) — banding guarantees full recall at the requested radius
+    // (bands = maxHamming+1), so the radius choice is the cost knob
     "simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 12)),
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
     "lsh_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)

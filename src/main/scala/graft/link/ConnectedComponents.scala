@@ -82,18 +82,22 @@ object ConnectedComponents {
     var cur = canon(edges).localCheckpoint()
     var converged = false
     var it = 0
-    var lastSum: Option[(Long, Long)] = None
+    var lastSig: Option[(Long, Long, Long)] = None
     while (!converged && it < maxIter) {
       // lazy checkpoint: the signature aggregation below materializes it,
-      // so each round costs ONE job instead of checkpoint-then-aggregate
+      // so each round costs ONE job instead of checkpoint-then-aggregate.
+      // Signature = (count, hash-sum, independent xxhash-xor): two mixing
+      // lanes over the edge set make a coincidental fixed-point collision
+      // (which would terminate a round early) ~2^-128-improbable.
       val next = canon(smallStar(largeStar(cur))).localCheckpoint(false)
       val sig = next.agg(
         count(lit(1)).cast("long"),
-        coalesce(sum(hash(col("src"), col("dst")).cast("long")), lit(0L))
+        coalesce(sum(hash(col("src"), col("dst")).cast("long")), lit(0L)),
+        coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L))
       ).head()
-      val curSig = (sig.getLong(0), sig.getLong(1))
-      converged = lastSum.contains(curSig)
-      lastSum = Some(curSig)
+      val curSig = (sig.getLong(0), sig.getLong(1), sig.getLong(2))
+      converged = lastSig.contains(curSig)
+      lastSig = Some(curSig)
       cur = next
       it += 1
     }

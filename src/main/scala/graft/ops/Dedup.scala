@@ -206,9 +206,13 @@ object Dedup {
 
     val vecs = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])].persist()
-    val sigs = vecs.mapPartitions(_.map { case (id, v) =>
-      (id, Similarity.signBitsLocal(v, bits))
-    }).toDF("id", "sig")
+    val sigs = vecs.mapPartitions { it =>
+      var planes: Array[Array[Double]] = null // lazily sized from the first row
+      it.map { case (id, v) =>
+        if (planes == null) planes = Similarity.hyperplanes(v.length, bits)
+        (id, Similarity.signBitsLocal(v, bits, planes))
+      }
+    }.toDF("id", "sig")
     val banded = sigs.select(col("id"),
         lpad(bin(col("sig")), 64, "0").as("sort_key"),
         posexplode(array((0 until bands).map(b =>
@@ -289,11 +293,13 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
     val spark = df.sparkSession
     import spark.implicits._
+    // persisted: the self-join below would otherwise re-tokenize and
+    // re-simhash the corpus once per side
     val sigs = df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
         (id, Hashing.simhash(text.toLowerCase.split("\\W+").filter(_.nonEmpty)))
-      }.toDF("doc_id", "sim")
+      }.toDF("doc_id", "sim").persist()
     // bands of near-equal width covering all 64 bits (first `rem` bands get
     // the extra bit)
     val bands = maxHamming + 1
@@ -308,12 +314,18 @@ object Dedup {
     }
     val banded = sigs.select(col("doc_id"), col("sim"), posexplode(array(keyCols: _*)))
       .toDF("doc_id", "sim", "band", "key")
-    banded.as("a").join(banded.as("b"),
+    // hamming gate BEFORE the dedup shuffle: bit_count is codegen'd per
+    // joined row, so the distinct() exchange carries only qualifying pairs
+    // (candidate volume -> result volume), not every banded collision
+    val out = banded.as("a").join(banded.as("b"),
         col("a.key") === col("b.key") && col("a.band") === col("b.band") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .localCheckpoint() // eager: lets the sigs cache release deterministically
+    sigs.unpersist()
+    out
   }
 }

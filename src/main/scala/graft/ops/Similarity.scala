@@ -88,19 +88,28 @@ object Similarity {
     sigs.reduce(_.bitwiseOR(_))
   }
 
+  /** The deterministic hyperplane matrix used by [[signBits]] /
+    * [[signBitsLocal]]: h(b)(i) = sin((i+1)·(b+1)·12.9898 + 78.233). The
+    * matrix is a constant per (dim, bits) — hoist it out of per-row loops
+    * (the sin() calls dominate otherwise: bits × dim transcendentals/row). */
+  def hyperplanes(dim: Int, bits: Int): Array[Array[Double]] =
+    Array.tabulate(bits)(b =>
+      Array.tabulate(dim)(i => math.sin((i + 1.0) * ((b + 1) * 12.9898) + 78.233)))
+
   /** Plain-Scala twin of [[signBits]] (identical hyperplanes and bit layout)
     * for hot mapPartitions paths where per-row primitive loops beat the
-    * interpreted higher-order-function expression. */
-  def signBitsLocal(v: Array[Double], bits: Int): Long = {
+    * interpreted higher-order-function expression. Pass a precomputed
+    * [[hyperplanes]] matrix when calling per row. */
+  def signBitsLocal(v: Array[Double], bits: Int,
+      planes: Array[Array[Double]] = null): Long = {
+    val h = if (planes != null) planes else hyperplanes(v.length, bits)
     var sig = 0L
     var b = 0
     while (b < bits) {
+      val hb = h(b)
       var dot = 0.0
       var i = 0
-      while (i < v.length) {
-        dot += v(i) * math.sin((i + 1.0) * ((b + 1) * 12.9898) + 78.233)
-        i += 1
-      }
+      while (i < v.length) { dot += v(i) * hb(i); i += 1 }
       if (dot >= 0) sig |= (1L << b)
       b += 1
     }
