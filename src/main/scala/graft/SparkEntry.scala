@@ -183,6 +183,9 @@ object SparkEntry {
     "text_quality_score" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextStats.qualityScore(col("text")).as("quality"))),
+    "text_subword_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextStats.subwordCount(col("text")).cast("long").as("subwords"))),
     // ---------------------------------------------------------------- dedup
     "dedup_exact_groups" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -419,6 +422,14 @@ object SparkEntry {
               ELSE 'latin' END AS guess,
          CAST(count(*) AS BIGINT) AS n
          FROM documents GROUP BY 1, 2""",
+    // Spark's lookaround split has no RE2 twin; equivalent closed form:
+    // pieces = (# alnum runs) + (# non-alnum chars)
+    "text_subword_count" ->
+      """SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+'))
+            + length(text)
+            - length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) AS subwords
+         FROM documents""",
     "text_quality_score" ->
       """SELECT doc_id, round(greatest(0.0,
          least(length(text)/500.0, 1.0)

@@ -133,17 +133,24 @@ object TableIO {
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
     // lineage from the written files: per-bucket count + order-independent
-    // checksum of the key, over the NEW buckets only (a column-pruned scan
-    // of keyCol; bucket is a partition column, so the small-done-set filter
-    // prunes committed partitions at planning time)
+    // checksum of the key, over the NEW bucket directories only — the
+    // directory listing diffed against the committed set selects the paths,
+    // so this is a column-pruned scan of O(new buckets) files no matter how
+    // many buckets are already committed (at 10^5-bucket deployment scale a
+    // whole-table re-read per incremental commit would dwarf the increment)
     val base = new Path(path)
-    val hasData = {
-      val f = fs(spark, base)
-      f.exists(base) && f.listStatus(base).exists(_.getPath.getName.startsWith("bucket="))
-    }
+    val f = fs(spark, base)
+    val newDirs =
+      if (!f.exists(base)) Array.empty[String]
+      else f.listStatus(base).map(_.getPath)
+        .filter(_.getName.startsWith("bucket="))
+        .flatMap { p => // non-numeric partition dirs (e.g. hive default) are skipped
+          scala.util.Try(p.getName.stripPrefix("bucket=").toInt).toOption
+            .filterNot(done.contains).map(_ => p.toString)
+        }
     val manifests =
-      if (!hasData) Array.empty[BucketManifest]
-      else excludeBuckets(readStage(spark, path), col("bucket"), done)
+      if (newDirs.isEmpty) Array.empty[BucketManifest]
+      else spark.read.option("basePath", path).parquet(newDirs: _*)
         .groupBy("bucket")
         .agg(count(lit(1)).as("rowCount"),
           coalesce(bit_xor(xxhash64(col(keyCol))), lit(0L)).as("checksum"))
