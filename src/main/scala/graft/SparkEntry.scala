@@ -221,6 +221,11 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 4))
     }),
     // -------------------------------------------------- non-SQL-expressible (rows-only)
+    // n-gram-profile language ID (Cavnar-Trenkle scoring; deterministic
+    // embedded profiles) — per-guess counts over the corpus
+    "text_lang_ngram" -> ((s, dir) =>
+      TextStats.withLangNgram(t(s, dir, "documents"), "doc_id", "text")
+        .groupBy("lang_guess").agg(count(lit(1)).as("n"))),
     "lsh_minhash_dedup" -> ((s, dir) =>
       Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 8, k = 16, bands = 4, threshold = 0.2)),

@@ -55,4 +55,73 @@ object TextStats {
     * whitespace-collapsed lowercase body) — exact-dup key at corpus scale. */
   def fingerprint(text: Column): Column =
     xxhash64(lower(regexp_replace(text, "\\s+", " ")))
+
+  // ------------------------------------------------------------------
+  // N-gram language ID (Cavnar & Trenkle, "N-Gram-Based Text
+  // Categorization", SDAIR'94 style): smoothed char-trigram profiles per
+  // language, argmax log-likelihood. Profiles are built once per JVM from
+  // small embedded seed texts (deterministic, no external data); scoring is
+  // a per-row primitive loop — the broadcast-constant + mapPartitions shape
+  // every executor-side model in this engine uses.
+  // ------------------------------------------------------------------
+
+  private val langSeeds: Map[String, String] = Map(
+    "en" -> ("the quick brown fox jumps over the lazy dog and then it was " +
+      "that this is not the only thing which could have been done for the " +
+      "people who were there with them during the first of these things"),
+    "de" -> ("der schnelle braune fuchs springt über den faulen hund und " +
+      "dann ist es nicht das einzige was für die menschen getan werden " +
+      "konnte die dort mit ihnen während der ersten dieser dinge waren"),
+    "fr" -> ("le renard brun rapide saute par dessus le chien paresseux et " +
+      "ce nest pas la seule chose qui aurait pu être faite pour les gens " +
+      "qui étaient là avec eux pendant la première de ces choses"),
+    "es" -> ("el rápido zorro marrón salta sobre el perro perezoso y no es " +
+      "lo único que se podría haber hecho para las personas que estaban " +
+      "allí con ellos durante la primera de estas cosas"))
+
+  private def trigrams(s: String): Iterator[String] = {
+    val t = " " + s.toLowerCase.replaceAll("\\s+", " ").trim + " "
+    if (t.length < 3) Iterator.empty
+    else (0 to t.length - 3).iterator.map(i => t.substring(i, i + 3))
+  }
+
+  /** (language, smoothed log-prob table, log-prob of an unseen trigram). */
+  lazy val langProfiles: Seq[(String, Map[String, Double], Double)] =
+    langSeeds.toSeq.sortBy(_._1).map { case (lang, seed) =>
+      val counts = trigrams(seed).toSeq.groupBy(identity).view.mapValues(_.size).toMap
+      val total = counts.values.sum.toDouble
+      val vocab = counts.size + 1
+      val table = counts.map { case (g, c) => g -> math.log((c + 1.0) / (total + vocab)) }
+      (lang, table, math.log(1.0 / (total + vocab)))
+    }
+
+  /** Plain-Scala n-gram language guess: "zh" for CJK-dominant text (trigram
+    * profiles are an alphabetic-script instrument), else argmax profile
+    * log-likelihood, "unknown" for empty. Deterministic. */
+  def langNgramGuess(text: String): String = {
+    if (text == null || text.isEmpty) return "unknown"
+    val nonAscii = text.count(_ > 0x7f)
+    if (nonAscii.toDouble / text.length > 0.3) return "zh"
+    val gs = trigrams(text).toArray
+    if (gs.isEmpty) return "unknown"
+    langProfiles.maxBy { case (_, table, unseen) =>
+      var s = 0.0
+      var i = 0
+      while (i < gs.length) { s += table.getOrElse(gs(i), unseen); i += 1 }
+      s
+    }._1
+  }
+
+  /** DataFrame face of [[langNgramGuess]]: adds `lang_guess` next to the
+    * projected columns (profiles are a per-JVM constant; one mapPartitions,
+    * no shuffle). */
+  def withLangNgram(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, langNgramGuess(t)) })
+      .toDF(idCol, "lang_guess")
+  }
 }

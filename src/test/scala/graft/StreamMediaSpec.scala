@@ -57,6 +57,45 @@ class StreamExtractSpec extends SparkSpec {
   }
 }
 
+class StreamDedupSpec extends SparkSpec {
+
+  test("streaming exact dedup keeps one doc per fingerprint across restarts") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-sdedup").toString
+    val inDir = s"$root/in"
+    val outDir = s"$root/out"
+    val ckpt = s"$root/ckpt"
+
+    def docs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .withColumn("warc_ts", (lit(1767225600L) + col("doc_id")).cast("timestamp"))
+
+    docs(Seq((1L, "alpha beta"), (2L, "alpha  BETA"), (3L, "gamma"))).write.parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    def runOnce(): Unit = {
+      val q = graft.streaming.StreamDedup.exactDedup(
+          spark.readStream.schema(schema).parquet(inDir))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val got1 = spark.read.parquet(outDir)
+    // (1,2) share a fingerprint (whitespace/case-normalized) → one survivor
+    assert(got1.count() === 2)
+    assert(got1.select("fp").distinct().count() === 2)
+
+    // restart with new files: a re-arriving duplicate of doc 3 is dropped by
+    // the checkpointed state; a genuinely new doc passes
+    docs(Seq((4L, "GAMMA"), (5L, "delta"))).write.mode("append").parquet(inDir)
+    runOnce()
+    val got2 = spark.read.parquet(outDir)
+    assert(got2.count() === 3)
+    assert(!got2.select("doc_id").as[Long].collect().contains(4L))
+    assert(got2.select("doc_id").as[Long].collect().contains(5L))
+  }
+}
+
 class MediaSpec extends SparkSpec {
 
   test("header parse round-trips the synthetic container") {
