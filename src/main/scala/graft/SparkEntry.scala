@@ -229,6 +229,11 @@ object SparkEntry {
     "lsh_minhash_dedup" -> ((s, dir) =>
       Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 8, k = 16, bands = 4, threshold = 0.2)),
+    // winnowed rolling-hash fingerprints (Schleimer et al. SIGMOD'03):
+    // partial-overlap pairs — rows-only (splitmix-finalized hashes)
+    "winnow_overlap_pairs" -> ((s, dir) =>
+      Dedup.winnowedOverlapPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 16, w = 8, minShared = 3)),
     // maxHamming=3: the standard simhash near-dup radius (Manku et al.,
     // WWW'07) — banding guarantees full recall at the requested radius
     // (bands = maxHamming+1), so the radius choice is the cost knob

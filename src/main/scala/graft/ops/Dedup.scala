@@ -280,6 +280,43 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("keeper"))
   }
 
+  /** Partial-overlap pairs via winnowed fingerprints
+    * ([[TextStats.winnowFingerprints]]): docs sharing ≥ `minShared` selected
+    * k-gram hashes — catches a document that embeds a copied PASSAGE of
+    * another (guaranteed for common substrings ≥ k+w-1 chars), which
+    * whole-document and minhash similarity both miss at low overall overlap.
+    *
+    * Scale shape: explode to (doc, fp) — density ≈ 2/(w+1) of chars, far
+    * sparser than shingle joins — then one self-equi-join on fp + a pair
+    * count. Fingerprints appearing in more than `maxDocFreq` docs are
+    * dropped before the join (boilerplate k-grams carry no overlap signal
+    * and are exactly the hot keys that would blow up the join — the
+    * stop-shingle discipline). */
+  def winnowedOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8, minShared: Int = 2,
+      maxDocFreq: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // persisted: the frequency filter and both self-join sides reuse one
+    // winnowing pass; eager checkpoint lets the cache release deterministically
+    val fps = df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        TextStats.winnowFingerprints(t, k, w).iterator.map(fp => (id, fp))
+      }.toDF("doc_id", "fp").persist()
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df_"))
+      .filter(col("df_") <= maxDocFreq).select("fp")
+    val kept = fps.join(rare, Seq("fp"), "left_semi")
+    val out = kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .localCheckpoint()
+    fps.unpersist()
+    out
+  }
+
   /** SimHash near-dup candidates: 64-bit simhash, blocked on `maxHamming+1`
     * bands — by pigeonhole, any pair at Hamming distance ≤ maxHamming shares
     * at least one whole band, so recall at the requested radius is GUARANTEED

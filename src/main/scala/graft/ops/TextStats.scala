@@ -57,6 +57,53 @@ object TextStats {
     xxhash64(lower(regexp_replace(text, "\\s+", " ")))
 
   // ------------------------------------------------------------------
+  // Winnowing document fingerprints (Schleimer, Wilkerson, Aiken — "Winnowing:
+  // Local Algorithms for Document Fingerprinting", SIGMOD'03): Rabin-Karp
+  // rolling hash over char k-grams, then the minimum hash of every
+  // w-hash window is selected (rightmost minimum — the standard robust
+  // choice). Density ≈ 2/(w+1) of positions, guaranteed to share a
+  // fingerprint with any other document containing a common substring of
+  // length ≥ k + w - 1 — the content-defined fingerprint that detects
+  // PARTIAL overlap, which a whole-document hash cannot.
+  // ------------------------------------------------------------------
+
+  /** Distinct winnowed fingerprints of `text` (lowercased, whitespace
+    * collapsed). O(n) — one rolling-hash pass + a monotonic deque. */
+  def winnowFingerprints(text: String, k: Int = 16, w: Int = 8): Array[Long] = {
+    require(k >= 2 && w >= 1)
+    val t = text.toLowerCase.replaceAll("\\s+", " ").trim
+    val n = t.length - k + 1
+    if (n <= 0) return Array.empty
+    val B = 257L
+    var bk = 1L // B^(k-1), wrapping mod 2^64
+    var i = 0
+    while (i < k - 1) { bk *= B; i += 1 }
+    val hs = new Array[Long](n)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + t.charAt(i); i += 1 }
+    hs(0) = Hashing.splitmix64(h) // finalize: raw polynomial hashes cluster
+    i = 1
+    while (i < n) {
+      h = (h - t.charAt(i - 1) * bk) * B + t.charAt(i + k - 1)
+      hs(i) = Hashing.splitmix64(h)
+      i += 1
+    }
+    // rightmost-minimum per window of w hashes, via monotonic index deque
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    val dq = new java.util.ArrayDeque[Int]()
+    i = 0
+    while (i < n) {
+      while (!dq.isEmpty && hs(dq.peekLast) >= hs(i)) dq.pollLast()
+      dq.addLast(i)
+      if (dq.peekFirst <= i - w) dq.pollFirst()
+      if (i >= w - 1) out += hs(dq.peekFirst)
+      i += 1
+    }
+    out.toArray
+  }
+
+  // ------------------------------------------------------------------
   // N-gram language ID (Cavnar & Trenkle, "N-Gram-Based Text
   // Categorization", SDAIR'94 style): smoothed char-trigram profiles per
   // language, argmax log-likelihood. Profiles are built once per JVM from

@@ -117,6 +117,50 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) === 3L)
   }
 
+  test("winnowing: guaranteed fingerprint share for long-enough common substrings") {
+    val k = 16; val w = 8
+    val passage = "this exact passage is long enough to guarantee a shared winnow fingerprint"
+    val a = "unrelated prefix text before it. " + passage + " and an unrelated suffix."
+    val b = "different document entirely here. " + passage + " with other trailing words."
+    val fa = graft.ops.TextStats.winnowFingerprints(a, k, w).toSet
+    val fb = graft.ops.TextStats.winnowFingerprints(b, k, w).toSet
+    // common substring length >= k + w - 1 => at least one shared fingerprint
+    assert(passage.length >= k + w - 1)
+    assert((fa intersect fb).nonEmpty)
+    // deterministic
+    assert(fa === graft.ops.TextStats.winnowFingerprints(a, k, w).toSet)
+  }
+
+  test("winnowed overlap pairs flag partial copies, not disjoint docs") {
+    val passage = "the shared boilerplate paragraph that was copied between two documents verbatim"
+    val df = docs(Seq(
+      (1L, "first document own content here. " + passage),
+      (2L, passage + " second document with different remaining body text"),
+      (3L, "a completely different text with no copied passage whatsoever in it at all")))
+    val pairs = Dedup.winnowedOverlapPairs(df, "doc_id", "text", minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("winnowing drops boilerplate fingerprints above maxDocFreq (hot-key guard)") {
+    val boiler = "identical boilerplate navigation footer appears everywhere in the corpus"
+    // unique flank on BOTH sides so every k-gram is either boiler-internal
+    // (df=50, dropped) or contains doc-unique chars (df=1, no pair)
+    def u(i: Int) = f"uniq$i%04dtag" * 3
+    val rows = (0 until 50).map(i => (i.toLong, s"${u(i)} . $boiler . ${u(i)}"))
+    val df = docs(rows)
+    // without the guard every doc pairs with every other via the boilerplate
+    val unguarded = Dedup.winnowedOverlapPairs(df, "doc_id", "text",
+      minShared = 1, maxDocFreq = 1000).count()
+    assert(unguarded === 50L * 49 / 2)
+    // the df cap drops the universal fingerprints; only boundary-selection
+    // stragglers (df <= 10) remain — the join is bounded, not quadratic
+    val guarded = Dedup.winnowedOverlapPairs(df, "doc_id", "text",
+      minShared = 1, maxDocFreq = 10).count()
+    assert(guarded < unguarded / 5, s"guarded=$guarded unguarded=$unguarded")
+  }
+
   test("hashing primitives are deterministic across calls") {
     assert(Hashing.hash64("abc") === Hashing.hash64("abc"))
     assert(Hashing.hash64("abc") !== Hashing.hash64("abd"))
