@@ -23,7 +23,10 @@ object Dedup {
   /** Exact dedup: keep the smallest id per fingerprint group.
     * Returns (idCol, keeper, groupSize). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val fp = df.select(col(idCol), TextStats.fingerprint(col(textCol)).as("fp"))
+    // null text fingerprints as empty (a null join key would silently DROP
+    // the row from its own group); null ids carry no identity to keep
+    val fp = df.filter(col(idCol).isNotNull)
+      .select(col(idCol), TextStats.fingerprint(coalesce(col(textCol), lit(""))).as("fp"))
     val groups = fp.groupBy("fp")
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("group_size"))
     fp.join(groups, "fp").select(col(idCol), col("keeper"), col("group_size"))
@@ -78,7 +81,10 @@ object Dedup {
     require(k % bands == 0)
     val rowsPerBand = k / bands
 
-    val docs = df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    // poison-pill guard: null id/text rows are excluded from clustering
+    // (the final left join still emits every non-null-id doc, keeper = self)
+    val docs = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
       .as[(Long, String)].persist()
     // minhash signature per doc — computed in one pass, no shuffle
     val sigs = docs.map { case (id, text) =>
@@ -135,7 +141,8 @@ object Dedup {
                          // iterates over the checkpointed edges only
 
     val comp = ConnectedComponents.run(verified)
-    val out = df.select(col(idCol).cast("long").as("doc_id"))
+    val out = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"))
       .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("keeper"))
     sized.unpersist(); cand.unpersist(); docs.unpersist()
@@ -153,7 +160,8 @@ object Dedup {
       threshold: Double): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val vecs = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    val vecs = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
     val all = vecs.collect().sortBy(_._1)
     val norms = all.map { case (_, v) =>
@@ -204,7 +212,8 @@ object Dedup {
     val bandBits = bits / bands
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
 
-    val vecs = df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    val vecs = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])].persist()
     val sigs = vecs.mapPartitions { it =>
       var planes: Array[Array[Double]] = null // lazily sized from the first row
@@ -275,7 +284,8 @@ object Dedup {
        else embeddingCosinePairsLsh(df, idCol, vecCol, threshold))
         .select(col("id_a").as("src"), col("id_b").as("dst"))
     val comp = ConnectedComponents.run(pairs)
-    df.select(col(idCol).cast("long").as("doc_id"))
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"))
       .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("keeper"))
   }
@@ -299,7 +309,8 @@ object Dedup {
     import spark.implicits._
     // persisted: the frequency filter and both self-join sides reuse one
     // winnowing pass; eager checkpoint lets the cache release deterministically
-    val fps = df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    val fps = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
         TextStats.winnowFingerprints(t, k, w).iterator.map(fp => (id, fp))
@@ -332,7 +343,8 @@ object Dedup {
     import spark.implicits._
     // persisted: the self-join below would otherwise re-tokenize and
     // re-simhash the corpus once per side
-    val sigs = df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    val sigs = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
         (id, Hashing.simhash(text.toLowerCase.split("\\W+").filter(_.nonEmpty)))

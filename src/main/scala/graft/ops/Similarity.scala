@@ -37,8 +37,10 @@ object Similarity {
       vecCol: String, k: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val q = queries.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
@@ -128,7 +130,8 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
 
-    val vecs = corpus.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    val vecs = corpus.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
     // deterministic training sample: smallest ids (stable under partitioning)
     val sample = vecs.orderBy(col(idCol)).limit(trainSample).collect().map(_._2)
@@ -158,7 +161,8 @@ object Similarity {
       (nearestCentroid(v, bcCentroids.value), id, v)
     }.toDF("cell", "corpus_id", "cv")
 
-    val probed = queries.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    val probed = queries.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
       .flatMap { case (id, v) =>
         nearestCentroids(v, bcCentroids.value, nProbe).map(c => (c, id, v))
@@ -193,7 +197,8 @@ object Similarity {
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
     def withBands(df: DataFrame, id: String, vec: String, out: String) =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
+      df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+        .select(col(idCol).as(id), col(vecCol).as(vec),
           signBits(col(vecCol), bits).as("sig"))
         .select(col(id), col(vec), posexplode(array(
           (0 until bands).map(b =>

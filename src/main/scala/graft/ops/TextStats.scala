@@ -166,7 +166,8 @@ object TextStats {
       textCol: String): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol))
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) => (id, langNgramGuess(t)) })
       .toDF(idCol, "lang_guess")
