@@ -289,6 +289,24 @@ object SparkEntry {
         sum(when(graft.functions.TextNorm.extractText(col("html")) =!= col("text"), 1L)
           .otherwise(0L)).as("mismatches"))
     }),
+    "kg_metrics_per_type" -> ((s, dir) => {
+      // the reference's compute_performance end-to-end: encode -> kernel ->
+      // Viterbi -> per-type precise/blurred P/R/F1 (rows-only: kernel op)
+      val pages = Corpus.pages(s, 300, seed = 42, noisyFrac = 0.0).toDF()
+      val gold = Corpus.gold(s, 300, seed = 42, noisyFrac = 0.0)
+      graft.eval.EvalRun.perTypeMetrics(pages, gold)
+        .select(col("question_type"), col("tp_precise"), col("tp_blurred"),
+          col("num_pre"), col("num_gold"), col("match_count"),
+          round(col("precision_precise"), 4).as("precision_precise"),
+          round(col("recall_precise"), 4).as("recall_precise"),
+          round(col("f1_blurred"), 4).as("f1_blurred"))
+    }),
+    "kg_per_sample_eval" -> ((s, dir) => {
+      // the reference's res_lst per-sample dump (answer_gold/answer_pred)
+      val pages = Corpus.pages(s, 200, seed = 42, noisyFrac = 0.0).toDF()
+      val gold = Corpus.gold(s, 200, seed = 42, noisyFrac = 0.0)
+      graft.eval.Metrics.perSampleEval(graft.eval.EvalRun.evalSamples(pages, gold))
+    }),
     "kg_eval_pr" -> ((s, dir) => {
       import s.implicits._
       import graft.eval.Metrics

@@ -1,0 +1,56 @@
+package graft.eval
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+import graft.encode.Encoder
+import graft.functions.Spans
+import graft.pipeline.{ExtractorConfig, ExtractorModel, QaGen}
+import graft.schema.{GoldTriple, Ontology, Span}
+
+/** End-to-end span-level evaluation — the reference's predict-on-dev loop
+  * (run_qa.py --do_predict → utils/evaluate_funcs.py compute_performance):
+  * QA samples are encoded (T8), the kernel predicts context tags per row,
+  * and gold/pred tag arrays feed [[Metrics.computePerformance]] /
+  * [[Metrics.perSampleEval]].
+  *
+  * One shuffle-free mapPartitions (encode + forward + Viterbi per row, model
+  * as the per-JVM singleton) — the eval twin of the extraction barrier.
+  */
+object EvalRun {
+
+  /** (askedType, EvalSample) per QA sample. Gold tags use the reference's
+    * convention (0 = background, B = type id, I = id+1, index 0 = context
+    * char 0); pred tags come from the kernel's Viterbi decode over the same
+    * encoded row. Spans truncated away by maxSeq are excluded from gold,
+    * mirroring the reference's feature builder. */
+  def evalSamples(pages: DataFrame, gold: Dataset[GoldTriple],
+      cfg: ExtractorConfig = ExtractorConfig()): Dataset[(Int, Metrics.EvalSample)] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val subjectIds = Ontology.subject2question.keys.map(Ontology.questionDic).toSet
+    QaGen.qaSamples(pages, gold)
+      .select("url", "context", "question", "question_type", "subject_token", "labels")
+      .as[(String, String, String, Int, String, Seq[Span])]
+      .mapPartitions { rows =>
+        val (gaz, kernel) = ExtractorModel.get(cfg.kernel)
+        rows.map { case (_, context, question, qType, subjTok, spans) =>
+          val row = Encoder.encode(context, question, cfg.maxSeq)
+          val name = Ontology.id2relation(qType)
+          val bias =
+            (if (subjectIds.contains(qType)) gaz.subjectSpans(context, name)
+             else gaz.objectSpans(context, subjTok, name))
+              .filter(_.end <= row.lenContext)
+          val pred = kernel.tag(row, bias, qType)
+          val goldSpans = spans.filter(_.end <= row.lenContext)
+          val goldBio = Spans.bioLabels(row.lenContext + 1, qType, goldSpans).drop(1)
+          (qType, Metrics.EvalSample(qType, goldBio, pred))
+        }
+      }
+  }
+
+  /** Per-type metrics table for a (pages, gold) corpus — the `{sign}_res`
+    * aggregate of the reference, end to end. */
+  def perTypeMetrics(pages: DataFrame, gold: Dataset[GoldTriple],
+      cfg: ExtractorConfig = ExtractorConfig()): DataFrame =
+    Metrics.computePerformance(evalSamples(pages, gold, cfg))
+}
