@@ -78,13 +78,14 @@ object Bench {
       val (t, s) = kgRun(spark, kgDocs)
       (t, s, t / s)
     }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+
     // SPARK_GRAFT_BENCH_MODE=ops: battery only (iteration aid — skip the
     // three scaling rounds and print the ops JSON immediately)
     if (sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("ops")) {
-      val qs0 = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-        .mkString("{", ",", "}")
-      val total0 = results.map(_._2).filter(_ >= 0).sum
-      println(f"""{"metric":"total","value":$total0%.3f,"unit":"sec","queries":$qs0,"sf":"$sfDir"}""")
+      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
       spark.stop()
       return
     }
@@ -108,12 +109,6 @@ object Bench {
     val runs = Seq((nSmall, bestSmall._1, bestSmall._2, bestSmall._3),
       (n4, bestBig._1, bestBig._2, bestBig._3)) ++
       full.map(f => (cpus, f._1, f._2, f._3))
-    val thrSmall = bestSmall._3
-    val thr4N = bestBig._3
-
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
     val runsJson = runs.map { case (c, tr, sec, thr) =>
       f"""{"cpus":$c,"triples":$tr,"sec":$sec%.2f,"triples_per_sec":$thr%.1f}"""
     }.mkString("[", ",", "]")

@@ -142,7 +142,15 @@ object Metrics {
     samples.map { case (askedType, s) =>
       val idx = Spans.indexNumber(s.goldLabel)
       val goldSpans = if (idx != 0) Spans.indicesFromLabel(s.goldLabel, idx) else Nil
-      val predId = if (idx != 0) idx else Spans.indexNumber(s.predLabel)
+      // negative rows: the reference records pred_indices = [] for an
+      // all-equal pred row (the same branch evalRow scores tp=1 for) and
+      // only decodes a mixed row — keep the dump consistent with counters
+      val negAllEqual = idx == 0 &&
+        (s.predLabel.isEmpty || s.predLabel.distinct.length == 1)
+      val predId =
+        if (idx != 0) idx
+        else if (negAllEqual) 0
+        else Spans.indexNumber(s.predLabel)
       val predSpans = if (predId != 0) Spans.indicesFromLabel(s.predLabel, predId) else Nil
       val r = evalRow(s)
       val t = if (r.questionType != 0) r.questionType else askedType

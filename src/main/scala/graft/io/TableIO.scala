@@ -114,10 +114,35 @@ object TableIO {
   def writeStage(df: DataFrame, path: String, stage: String, keyCol: String,
       nBuckets: Int, inputSnapshot: String = ""): Int = {
     val spark = df.sparkSession
-    val prior = readSnapshot(spark, path)
+    val snapOpt = readSnapshot(spark, path)
+    val prior = snapOpt
       .filter(s => s.stage == stage && s.nBuckets == nBuckets &&
         s.inputSnapshot == inputSnapshot)
+    val base = new Path(path)
+    val f = fs(spark, base)
+    def bucketDirs() =
+      if (!f.exists(base)) Array.empty[org.apache.hadoop.fs.Path]
+      else f.listStatus(base).map(_.getPath).filter(_.getName.startsWith("bucket="))
+    // lineage safety: manifests are later derived from on-disk bucket dirs,
+    // so foreign data must never be silently adopted. A manifest from a
+    // DIFFERENT (stage, nBuckets, snapshot) — or data with no manifest at
+    // all — is a configuration error, not something to absorb.
+    snapOpt match {
+      case Some(s) if prior.isEmpty =>
+        throw new IllegalStateException(
+          s"$path already holds stage '${s.stage}' nBuckets=${s.nBuckets} " +
+            s"inputSnapshot='${s.inputSnapshot}' — clean the directory or " +
+            s"call with the matching configuration (got stage '$stage' " +
+            s"nBuckets=$nBuckets inputSnapshot='$inputSnapshot')")
+      case None if bucketDirs().nonEmpty =>
+        throw new IllegalStateException(
+          s"$path contains bucket directories but no graft manifest — " +
+            "refusing to adopt unmanaged data; clean the directory")
+      case _ => ()
+    }
     val done = prior.map(_.committed).getOrElse(Set.empty)
+    // fully committed → a true no-op: the input plan is not even evaluated
+    if (done.size == nBuckets) return 0
 
     val withBucket = df.withColumn("bucket", bucketCol(keyCol, nBuckets))
     val pending = excludeBuckets(withBucket, col("bucket"), done)
@@ -137,17 +162,16 @@ object TableIO {
     // directory listing diffed against the committed set selects the paths,
     // so this is a column-pruned scan of O(new buckets) files no matter how
     // many buckets are already committed (at 10^5-bucket deployment scale a
-    // whole-table re-read per incremental commit would dwarf the increment)
-    val base = new Path(path)
-    val f = fs(spark, base)
-    val newDirs =
-      if (!f.exists(base)) Array.empty[String]
-      else f.listStatus(base).map(_.getPath)
-        .filter(_.getName.startsWith("bucket="))
-        .flatMap { p => // non-numeric partition dirs (e.g. hive default) are skipped
-          scala.util.Try(p.getName.stripPrefix("bucket=").toInt).toOption
-            .filterNot(done.contains).map(_ => p.toString)
-        }
+    // whole-table re-read per incremental commit would dwarf the increment).
+    // The configuration guard above makes the diff sound: every not-yet-
+    // committed dir here was produced by THIS (stage, nBuckets, snapshot) —
+    // either just now or by an interrupted run whose manifest commit died
+    // after the data was durably written (adopting those IS the resume).
+    val newDirs = bucketDirs()
+      .flatMap { p => // non-numeric partition dirs (e.g. hive default) are skipped
+        scala.util.Try(p.getName.stripPrefix("bucket=").toInt).toOption
+          .filterNot(done.contains).map(_ => p.toString)
+      }
     val manifests =
       if (newDirs.isEmpty) Array.empty[BucketManifest]
       else spark.read.option("basePath", path).parquet(newDirs: _*)

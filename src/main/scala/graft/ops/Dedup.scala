@@ -243,7 +243,8 @@ object Dedup {
           big.select(xxhash64(col("band"), col("key")).as("bucket"),
             col("id"), col("sort_key").as("sort")), neighborWindow)
         .select(col("src").as("id_a"), col("dst").as("id_b"))
-    val cand = smallPairs.unionByName(bigPairs).distinct()
+    // persisted: candIds' union reads cand twice and the verify join once
+    val cand = smallPairs.unionByName(bigPairs).distinct().persist()
 
     // exact-cosine verification of candidates only (primitive loops,
     // ascending-index accumulation like the exact path)
@@ -267,7 +268,7 @@ object Dedup {
         if (c >= threshold) Some((idA, idB, c)) else None
       }).toDF("id_a", "id_b", "cosine")
       .localCheckpoint() // eager: lets the caches release deterministically
-    sized.unpersist(); vecs.unpersist()
+    sized.unpersist(); cand.unpersist(); vecs.unpersist()
     verified.select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
 
@@ -278,7 +279,10 @@ object Dedup {
     * driver-side collect of unbounded input). */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, localThreshold: Long = 100000L): DataFrame = {
-    val exact = localThreshold > 0 && df.count() <= localThreshold
+    // bounded size probe: LocalLimit short-circuits the scan at threshold+1
+    // rows, so deciding the path never costs a full pass over a huge input
+    val probe = math.min(localThreshold, Int.MaxValue - 1L).toInt
+    val exact = localThreshold > 0 && df.limit(probe + 1).count() <= localThreshold
     val pairs =
       (if (exact) embeddingCosinePairs(df, idCol, vecCol, threshold)
        else embeddingCosinePairsLsh(df, idCol, vecCol, threshold))

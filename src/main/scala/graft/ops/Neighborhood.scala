@@ -55,8 +55,17 @@ object Neighborhood {
       .withColumn("pid", spark_partition_id())
       .localCheckpoint() // eager: freezes sampled range boundaries + pids
 
-    val counts = ranged.groupBy("pid", "bucket").agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // the offsets table is (partitions × distinct hot buckets); hot buckets
+    // number ≤ rows/bucketCap by definition, so this stays driver-sized for
+    // any sane cap — fail fast with a diagnosis rather than OOM the driver
+    // if a caller feeds an uncapped bucket stream
+    val countsDf = ranged.groupBy("pid", "bucket").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // one aggregation feeds both the guard and the collect
+    val nKeys = countsDf.count()
+    require(nKeys <= 2000000L,
+      s"hot-bucket offset table would have $nKeys entries — raise bucketCap " +
+        "or pre-aggregate; the two-pass rank is for OVERSIZED buckets only")
+    val counts = countsDf.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
 
     val offsets = counts.groupBy(_._2).iterator.flatMap { case (bkt, rows) =>
       var acc = 0L
@@ -80,12 +89,18 @@ object Neighborhood {
       col("sort").as("sort_b"), col("rn").as("rn_b"),
       floor((col("rn") - 1) / window).as("blk"))
 
+    // normalize (src,dst) ascending and keep sort_a/sort_b ALIGNED with the
+    // swap, so sort_a is always src's key (and a pair emitted by both this
+    // path and an all-pairs path dedupes instead of surviving distinct()
+    // with swapped carries)
+    val aFirst = col("id_a") <= col("id_b")
     a.join(b, Seq("bucket", "blk"))
       .filter(col("rn_b") > col("rn_a") && col("rn_b") <= col("rn_a") + window)
       .select(
-        least(col("id_a"), col("id_b")).as("src"),
-        greatest(col("id_a"), col("id_b")).as("dst"),
-        col("sort_a"), col("sort_b"))
+        when(aFirst, col("id_a")).otherwise(col("id_b")).as("src"),
+        when(aFirst, col("id_b")).otherwise(col("id_a")).as("dst"),
+        when(aFirst, col("sort_a")).otherwise(col("sort_b")).as("sort_a"),
+        when(aFirst, col("sort_b")).otherwise(col("sort_a")).as("sort_b"))
       .filter(col("src") =!= col("dst"))
   }
 }

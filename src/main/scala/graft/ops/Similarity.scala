@@ -37,6 +37,18 @@ object Similarity {
       vecCol: String, k: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // ids ride through the bounded heap as longs; fail fast on non-integral
+    // id columns instead of silently null-casting them (hash or project a
+    // numeric id first — see mm_feature_ann's xxhash64(url))
+    Seq(corpus, queries).foreach { d =>
+      import org.apache.spark.sql.types._
+      val ok = d.schema(idCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok, s"bruteForceTopK needs an integral id column; " +
+        s"'$idCol' is ${d.schema(idCol).dataType}")
+    }
     val c = corpus.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     val q = queries.filter(col(idCol).isNotNull && col(vecCol).isNotNull)

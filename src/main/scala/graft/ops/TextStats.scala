@@ -142,13 +142,22 @@ object TextStats {
       (lang, table, math.log(1.0 / (total + vocab)))
     }
 
+  private def isCjk(c: Char): Boolean =
+    (c >= 0x4E00 && c <= 0x9FFF) || (c >= 0x3400 && c <= 0x4DBF) ||
+      (c >= 0x3000 && c <= 0x30FF) || (c >= 0xFF00 && c <= 0xFFEF)
+
   /** Plain-Scala n-gram language guess: "zh" for CJK-dominant text (trigram
-    * profiles are an alphabetic-script instrument), else argmax profile
-    * log-likelihood, "unknown" for empty. Deterministic. */
+    * profiles are an alphabetic-script instrument), "unknown" for text
+    * dominated by scripts OUTSIDE the profile alphabet (Cyrillic, Greek,
+    * Arabic, …) — a wrong-but-confident Latin label would be worse — else
+    * argmax profile log-likelihood. Deterministic. */
   def langNgramGuess(text: String): String = {
     if (text == null || text.isEmpty) return "unknown"
-    val nonAscii = text.count(_ > 0x7f)
-    if (nonAscii.toDouble / text.length > 0.3) return "zh"
+    val cjk = text.count(isCjk)
+    if (cjk.toDouble / text.length > 0.3) return "zh"
+    val nonLatin = text.count(c => c > 0x7f && !isCjk(c) &&
+      !java.lang.Character.UnicodeScript.of(c).equals(java.lang.Character.UnicodeScript.LATIN))
+    if (nonLatin.toDouble / text.length > 0.5) return "unknown"
     val gs = trigrams(text).toArray
     if (gs.isEmpty) return "unknown"
     langProfiles.maxBy { case (_, table, unseen) =>

@@ -120,6 +120,27 @@ class TableIOSpec extends SparkSpec {
     assert(TableIO.auditStage(spark, dir, "url") === Seq.empty)
     assert(TableIO.readStage(spark, dir).count() === 300)
     assert(TableIO.readSnapshot(spark, dir).get.committed === (0 until 8).toSet)
+    // fully committed: a re-run is a true no-op — input not evaluated at all
+    assert(TableIO.writeStage(df, dir, "s1", "url", 8) === 0)
+    assert(acc.value === 300L, "fully-committed re-run must not evaluate the input")
+  }
+
+  test("writeStage refuses a mismatched configuration or unmanaged data") {
+    import spark.implicits._
+    val df = (0 until 60).map(i => (s"url-$i", i.toLong)).toDF("url", "v")
+    val dir = tmpDir() + "/t6"
+    TableIO.writeStage(df, dir, "s1", "url", 16)
+    // changing nBuckets / snapshot / stage must fail fast, not silently
+    // adopt the 16-bucket directories into an 8-bucket manifest
+    intercept[IllegalStateException](TableIO.writeStage(df, dir, "s1", "url", 8))
+    intercept[IllegalStateException](TableIO.writeStage(df, dir, "s2", "url", 16))
+    intercept[IllegalStateException](
+      TableIO.writeStage(df, dir, "s1", "url", 16, inputSnapshot = "v2"))
+    // bucket dirs with no manifest are unmanaged: refuse to adopt
+    val dir2 = tmpDir() + "/t7"
+    df.withColumn("bucket", TableIO.bucketCol("url", 4))
+      .write.partitionBy("bucket").parquet(dir2)
+    intercept[IllegalStateException](TableIO.writeStage(df, dir2, "s1", "url", 4))
   }
 
   test("pipeline stage metrics are observed during the single evaluation") {
