@@ -186,6 +186,9 @@ object SparkEntry {
     "text_subword_count" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextStats.subwordCount(col("text")).cast("long").as("subwords"))),
+    "text_stopword_ratio" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        round(TextStats.stopwordRatio(col("text")), 4).as("stopword_ratio"))),
     // ---------------------------------------------------------------- dedup
     "dedup_exact_groups" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -450,6 +453,17 @@ object SparkEntry {
               ELSE 'latin' END AS guess,
          CAST(count(*) AS BIGINT) AS n
          FROM documents GROUP BY 1, 2""",
+    "text_stopword_ratio" -> {
+      val sw = graft.ops.TextStats.stopwords.map(w => s"'$w'").mkString(",")
+      s"""SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN 0.0
+               ELSE round(CAST(length(list_filter(
+                      string_split_regex(lower(trim(text)), '\\s+'),
+                      w -> w IN ($sw))) AS DOUBLE)
+                    / length(string_split_regex(trim(text), '\\s+')), 4) END
+            AS stopword_ratio
+          FROM documents"""
+    },
     // Spark's lookaround split has no RE2 twin; equivalent closed form:
     // pieces = (# alnum runs) + (# non-alnum chars)
     "text_subword_count" ->

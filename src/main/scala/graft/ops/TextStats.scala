@@ -37,6 +37,21 @@ object TextStats {
       .otherwise((length(text) - length(regexp_replace(text, "[.!?,;:。，！？；：]", "")))
         .cast("double") / length(text))
 
+  /** Common-English stopwords (top function words) for density scoring. */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "was", "for", "on", "with", "as", "at", "by", "this", "are", "be",
+    "from", "not", "but", "they", "his", "her", "its", "we", "you")
+
+  /** Stopword ratio: stopword tokens / all tokens (0 for empty) — the
+    * classic fluency signal (boilerplate/token-soup text scores low, prose
+    * scores 0.3-0.6). Native `filter` + `isInCollection` (InSet, codegen'd). */
+  def stopwordRatio(text: Column): Column =
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(
+        size(filter(split(lower(trim(text)), "\\s+"), w => w.isInCollection(stopwords)))
+          .cast("double") / tokenCount(text))
+
   /** Mean word length over whitespace tokens (0 for empty). */
   def meanWordLen(text: Column): Column =
     when(tokenCount(text) === 0, lit(0.0))
