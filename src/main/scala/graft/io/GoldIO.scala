@@ -72,6 +72,13 @@ object GoldIO {
           .as("json"))
   }
 
+  /** Per-sample eval dump as JSON-lines — the `{sign}_res.json` twin
+    * (utils/evaluate_funcs.py:297-309): one line per evaluated sample with
+    * answer_gold / answer_pred / question_type + counters. Input is
+    * [[graft.eval.Metrics.perSampleEval]] output. */
+  def writeResJson(perSample: DataFrame, path: String): Unit =
+    perSample.write.mode("overwrite").json(path)
+
   /** Round-trip writer for the gold format (fixture generation / export). */
   def writeGoldJson(gold: DataFrame, pages: DataFrame, path: String): Unit = {
     val nested = gold

@@ -12,6 +12,21 @@ import graft.synth.Corpus
   * writer, and a full write→read round-trip. */
 class GoldIOSpec extends SparkSpec {
 
+  test("per-sample res JSON dump round-trips (the {sign}_res.json twin)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-res").toString + "/res"
+    val gold = Array(0, 0, 8, 9, 0, 0)
+    val perSample = graft.eval.Metrics.perSampleEval(spark.createDataset(Seq(
+      (8, graft.eval.Metrics.EvalSample(8, gold, gold)))))
+    GoldIO.writeResJson(perSample, dir)
+    val back = spark.read.json(dir)
+    assert(back.count() === 1)
+    val r = back.head()
+    assert(r.getAs[String]("question_type") === "Size")
+    assert(r.getAs[String]("answer_gold") === "2:4")
+    assert(r.getAs[Long]("tp_precise") === 1L)
+  }
+
   test("gold JSON round-trips through the reference format") {
     val dir = Files.createTempDirectory("graft-gold").toString + "/gold"
     val pages = Corpus.pages(spark, 150, seed = 42, noisyFrac = 0.0).toDF()
