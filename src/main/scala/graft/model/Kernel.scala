@@ -32,6 +32,42 @@ final case class KernelConfig(
     spanBias: Float = 16f
 )
 
+object Kernel {
+  /** Interpolated lookup tables for the two transcendentals on the per-token
+    * hot path (gelu over seq×4h activations + the tanh logits squash —
+    * ~27k `math.tanh` calls per forward otherwise). 4096-point linear
+    * interpolation over [-8, 8]: max error ≈ 2e-6, three orders below the
+    * O(1e-3) tolerance the gelu approximation note already documents. */
+  private[model] object Lut {
+    private val N = 4096
+    private val LO = -8f
+    private val scale = (N - 1) / 16f
+    private val geluT = Array.tabulate(N) { i =>
+      val x = LO + i / scale
+      val x3 = x.toDouble * x * x
+      (0.5 * x * (1.0 + math.tanh(0.7978845608028654 * (x + 0.044715 * x3)))).toFloat
+    }
+    private val tanhT = Array.tabulate(N)(i => math.tanh(LO + i / scale).toFloat)
+
+    @inline def gelu(x: Float): Float =
+      if (x >= 8f) x // gelu(x) → x for large x
+      else if (x <= -8f) 0f
+      else interp(geluT, x)
+
+    @inline def tanh(x: Float): Float =
+      if (x >= 8f) 1f
+      else if (x <= -8f) -1f
+      else interp(tanhT, x)
+
+    @inline private def interp(tbl: Array[Float], x: Float): Float = {
+      val f = (x - LO) * scale
+      val i = f.toInt
+      val w = f - i
+      tbl(i) + (tbl(i + 1) - tbl(i)) * w
+    }
+  }
+}
+
 final class Kernel(val cfg: KernelConfig, vocabSize: Int) extends Serializable {
   import cfg._
   private val numLabels = Ontology.numLabels
@@ -135,10 +171,8 @@ final class Kernel(val cfg: KernelConfig, vocabSize: Int) extends Serializable {
   // M11 gelu (tanh approximation of the reference's erf form,
   // models/bert_basic_model.py:58-62; difference is O(1e-3), far below the
   // gazetteer-bias decision margin)
-  @inline private def gelu(x: Float): Float = {
-    val x3 = x * x * x
-    (0.5 * x * (1.0 + math.tanh(0.7978845608028654 * (x + 0.044715 * x3)))).toFloat
-  }
+  @inline private def gelu(x: Float): Float =
+    Kernel.Lut.gelu(x)
 
   /** x[seq×h] · w[h×o] -> out[seq×o]. i-outer/j-inner ordering keeps the
     * weight access contiguous (stride 1 over w's row) so the JIT can
@@ -260,7 +294,7 @@ final class Kernel(val cfg: KernelConfig, vocabSize: Int) extends Serializable {
     matmul(h, wc, fullLen, hidden, numLabels, bc, logits)
     val ln = fullLen * numLabels
     var x = 0
-    while (x < ln) { logits(x) = math.tanh(logits(x)).toFloat * 0.5f; x += 1 }
+    while (x < ln) { logits(x) = Kernel.Lut.tanh(logits(x)) * 0.5f; x += 1 }
     var t = 0
     while (t < fullLen) { logits(t * numLabels + 1) += cfg.oBias; t += 1 } // 'O'
     biasSpans.foreach { sp =>
