@@ -48,6 +48,12 @@ object Kernel {
       (0.5 * x * (1.0 + math.tanh(0.7978845608028654 * (x + 0.044715 * x3)))).toFloat
     }
     private val tanhT = Array.tabulate(N)(i => math.tanh(LO + i / scale).toFloat)
+    // softmax numerator exp(x) for x ∈ [-16, 0] (post max-subtraction the
+    // argument is never positive; below -16 the weight is < 1.2e-7 ≈ 0)
+    private val expN = 4096
+    private val expLo = -16f
+    private val expScale = (expN - 1) / 16f
+    private val expT = Array.tabulate(expN)(i => math.exp(expLo + i / expScale).toFloat)
 
     @inline def gelu(x: Float): Float =
       if (x >= 8f) x // gelu(x) → x for large x
@@ -59,9 +65,24 @@ object Kernel {
       else if (x <= -8f) -1f
       else interp(tanhT, x)
 
+    /** exp(x) for x <= 0 (softmax numerators). */
+    @inline def expNeg(x: Float): Float =
+      if (x >= 0f) 1f
+      else if (x <= -16f) 0f
+      else {
+        val f = (x - expLo) * expScale
+        // float rounding can push (x - lo) to the exact range width for x
+        // just below the bound → clamp the bin so tbl(i+1) stays in range
+        val i0 = f.toInt
+        val i = if (i0 >= expN - 1) expN - 2 else i0
+        val w = f - i
+        expT(i) + (expT(i + 1) - expT(i)) * w
+      }
+
     @inline private def interp(tbl: Array[Float], x: Float): Float = {
       val f = (x - LO) * scale
-      val i = f.toInt
+      val i0 = f.toInt
+      val i = if (i0 >= N - 1) N - 2 else i0 // see expNeg: boundary rounding
       val w = f - i
       tbl(i) + (tbl(i + 1) - tbl(i)) * w
     }
@@ -244,7 +265,7 @@ final class Kernel(val cfg: KernelConfig, vocabSize: Int) extends Serializable {
         }
         var z = 0f
         tj = 0
-        while (tj < seqLen) { scores(tj) = math.exp(scores(tj) - mx).toFloat; z += scores(tj); tj += 1 }
+        while (tj < seqLen) { scores(tj) = Kernel.Lut.expNeg(scores(tj) - mx); z += scores(tj); tj += 1 }
         tj = 0
         while (tj < seqLen) {
           val a = scores(tj) / z
