@@ -27,7 +27,6 @@ object EvalRun {
       cfg: ExtractorConfig = ExtractorConfig()): Dataset[(Int, Metrics.EvalSample)] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    val subjectIds = Ontology.subject2question.keys.map(Ontology.questionDic).toSet
     QaGen.qaSamples(pages, gold)
       .select("url", "context", "question", "question_type", "subject_token", "labels")
       .as[(String, String, String, Int, String, Seq[Span])]
@@ -36,8 +35,13 @@ object EvalRun {
         rows.map { case (_, context, question, qType, subjTok, spans) =>
           val row = Encoder.encode(context, question, cfg.maxSeq)
           val name = Ontology.id2relation(qType)
+          // subject vs relation sample is decided by subject_token: subject
+          // samples carry "" (QaGen.subjectSamples). The tag id CANNOT
+          // discriminate — e.g. Pleura is both a subject type and a relation
+          // with the SAME id, and its relation samples must take the
+          // objectSpans branch exactly as Extract.turn2 does.
           val bias =
-            (if (subjectIds.contains(qType)) gaz.subjectSpans(context, name)
+            (if (subjTok.isEmpty) gaz.subjectSpans(context, name)
              else gaz.objectSpans(context, subjTok, name))
               .filter(_.end <= row.lenContext)
           val pred = kernel.tag(row, bias, qType)

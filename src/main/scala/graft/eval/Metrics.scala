@@ -57,6 +57,13 @@ object Metrics {
     * 0 = context char 0, question_first=False layout). */
   final case class EvalSample(questionType: Int, goldLabel: Array[Int], predLabel: Array[Int])
 
+  /** The reference's negative-row test, in ONE place for both the counters
+    * and the per-sample dump: `len(set(pred_label)) == 1` — an EMPTY pred
+    * row is False (len(set([])) == 0), so it scores tp=0 and decodes to no
+    * spans (evaluate_funcs.py:245-268). */
+  private def negAllEqual(pred: Array[Int]): Boolean =
+    pred.nonEmpty && pred.distinct.length == 1
+
   private final case class PerRow(questionType: Int, tpPrecise: Long, tpBlurred: Long,
       numPre: Long, numGold: Long, matchCount: Long)
 
@@ -84,10 +91,7 @@ object Metrics {
         if (goldS.nonEmpty) goldS.size.toLong else 1L,
         tp)
     } else {
-      // reference: len(set(pred_label))==1 — an EMPTY pred row is False
-      // (len(set([]))==0), so tp=0; only reachable for zero-length decoded
-      // rows, but the bit-for-bit contract includes it
-      val allEqual = s.predLabel.nonEmpty && s.predLabel.distinct.length == 1
+      val allEqual = negAllEqual(s.predLabel)
       val tp = if (allEqual) 1L else 0L
       // reference: pred_indices = [] when all-equal, else a 1-element list
       // [get_indices_from_lable(pred, first_nonzero(pred))] — so num_pre is
@@ -144,12 +148,11 @@ object Metrics {
       val goldSpans = if (idx != 0) Spans.indicesFromLabel(s.goldLabel, idx) else Nil
       // negative rows: the reference records pred_indices = [] for an
       // all-equal pred row (the same branch evalRow scores tp=1 for) and
-      // only decodes a mixed row — keep the dump consistent with counters
-      val negAllEqual = idx == 0 &&
-        (s.predLabel.isEmpty || s.predLabel.distinct.length == 1)
+      // only decodes a mixed row — the shared predicate keeps the dump
+      // provably consistent with the counters
       val predId =
         if (idx != 0) idx
-        else if (negAllEqual) 0
+        else if (negAllEqual(s.predLabel)) 0
         else Spans.indexNumber(s.predLabel)
       val predSpans = if (predId != 0) Spans.indicesFromLabel(s.predLabel, predId) else Nil
       val r = evalRow(s)

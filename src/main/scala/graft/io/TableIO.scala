@@ -138,6 +138,13 @@ object TableIO {
         throw new IllegalStateException(
           s"$path contains bucket directories but no graft manifest — " +
             "refusing to adopt unmanaged data; clean the directory")
+      case None =>
+        // claim the directory BEFORE writing any data: if this very first
+        // run dies between the data write and the manifest commit, the next
+        // run finds a matching (stage, nBuckets, snapshot) claim with zero
+        // committed buckets and resumes by adopting the written dirs —
+        // without the claim it would trip the unmanaged-data guard above
+        writeSnapshot(spark, path, Snapshot(stage, inputSnapshot, nBuckets, Seq.empty))
       case _ => ()
     }
     val done = prior.map(_.committed).getOrElse(Set.empty)

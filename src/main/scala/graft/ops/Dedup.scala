@@ -280,9 +280,13 @@ object Dedup {
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, localThreshold: Long = 100000L): DataFrame = {
     // bounded size probe: LocalLimit short-circuits the scan at threshold+1
-    // rows, so deciding the path never costs a full pass over a huge input
-    val probe = math.min(localThreshold, Int.MaxValue - 1L).toInt
-    val exact = localThreshold > 0 && df.limit(probe + 1).count() <= localThreshold
+    // rows, so deciding the path never costs a full pass over a huge input.
+    // Thresholds beyond Int.MaxValue can't be probed via limit (its cap
+    // would make the check vacuously true) — fall back to an exact count.
+    val exact = localThreshold > 0 && {
+      if (localThreshold >= Int.MaxValue - 1L) df.count() <= localThreshold
+      else df.limit(localThreshold.toInt + 1).count() <= localThreshold
+    }
     val pairs =
       (if (exact) embeddingCosinePairs(df, idCol, vecCol, threshold)
        else embeddingCosinePairsLsh(df, idCol, vecCol, threshold))

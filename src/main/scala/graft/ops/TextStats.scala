@@ -172,7 +172,9 @@ object TextStats {
     if (cjk.toDouble / text.length > 0.3) return "zh"
     val nonLatin = text.count(c => c > 0x7f && !isCjk(c) &&
       !java.lang.Character.UnicodeScript.of(c).equals(java.lang.Character.UnicodeScript.LATIN))
-    if (nonLatin.toDouble / text.length > 0.5) return "unknown"
+    // same dominance threshold as CJK: a 30%+ out-of-alphabet-script share
+    // must yield "unknown", never a confident Latin-profile label
+    if (nonLatin.toDouble / text.length > 0.3) return "unknown"
     val gs = trigrams(text).toArray
     if (gs.isEmpty) return "unknown"
     langProfiles.maxBy { case (_, table, unseen) =>

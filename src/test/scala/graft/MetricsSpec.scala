@@ -101,13 +101,12 @@ class MetricsSpec extends SparkSpec {
         (r.getAs[Double]("precision_precise"), r.getAs[Double]("recall_precise")))
       .toMap
     assert(perType.size >= 12, s"types covered: ${perType.keySet}")
-    // Pleura carries a known stand-in artifact: the gazetteer-distilled
-    // kernel localizes a repeated subject surface at its FIRST occurrence
-    // while the gold sample keeps the reference's last-planted position —
-    // a positional (not value) disagreement unique to the distilled weights
+    // every type exact: subject vs relation samples are discriminated by
+    // subject_token (Pleura shares its tag id across both roles, so an
+    // id-based branch would mis-bias its relation samples — regression
+    // caught by this very assertion)
     perType.foreach { case (t, (p, r)) =>
-      if (t == "Pleura") { assert(p >= 0.75 && r >= 0.75, s"$t: $p/$r") }
-      else assert(p === 1.0 && r === 1.0, s"$t: $p/$r")
+      assert(p === 1.0 && r === 1.0, s"$t: $p/$r")
     }
   }
 

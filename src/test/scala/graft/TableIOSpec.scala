@@ -125,6 +125,22 @@ class TableIOSpec extends SparkSpec {
     assert(acc.value === 300L, "fully-committed re-run must not evaluate the input")
   }
 
+  test("first-run crash between data write and manifest commit resumes cleanly") {
+    import spark.implicits._
+    val dir = tmpDir() + "/t8"
+    val df = (0 until 200).map(i => (s"url-$i", i.toLong)).toDF("url", "v")
+    TableIO.writeStage(df, dir, "s1", "url", 8)
+    // simulate the crash: data dirs are on disk, but the manifest is still
+    // the pre-write claim (zero committed buckets)
+    TableIO.writeSnapshot(spark, dir, TableIO.Snapshot("s1", "", 8, Seq.empty))
+    // the retry must adopt the written dirs (not throw, not duplicate)
+    val n = TableIO.writeStage(df, dir, "s1", "url", 8)
+    assert(n === 8)
+    assert(TableIO.readStage(spark, dir).count() === 200)
+    assert(TableIO.readSnapshot(spark, dir).get.committed === (0 until 8).toSet)
+    assert(TableIO.auditStage(spark, dir, "url") === Seq.empty)
+  }
+
   test("writeStage refuses a mismatched configuration or unmanaged data") {
     import spark.implicits._
     val df = (0 until 60).map(i => (s"url-$i", i.toLong)).toDF("url", "v")
