@@ -109,6 +109,18 @@ object SparkEntry {
       t(s, dir, "customer")
         .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey")),
+    // co-located join over Spark BUCKETED tables (both sides pre-bucketed
+    // by the join key → zero exchange; plan asserted in TableIOSpec)
+    "bucketed_colocated_join" -> ((s, dir) => {
+      graft.io.TableIO.writeBucketedTable(
+        t(s, dir, "customer").select("c_custkey", "c_acctbal"), "g_cust_b", "c_custkey", 8)
+      graft.io.TableIO.writeBucketedTable(
+        t(s, dir, "orders").select("o_custkey", "o_totalprice"), "g_ord_b", "o_custkey", 8)
+      s.table("g_cust_b")
+        .join(s.table("g_ord_b"), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_custkey")
+        .agg(round(sum("o_totalprice"), 2).as("total"), count(lit(1)).as("cnt"))
+    }),
     "j6_all_match_flag" -> ((s, dir) =>
       t(s, dir, "orders").groupBy("o_custkey")
         .agg(min(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("all_f"))),
@@ -393,6 +405,11 @@ object SparkEntry {
     "j6_all_match_flag" ->
       """SELECT o_custkey, CAST(min(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS all_f
          FROM orders GROUP BY o_custkey""",
+    "bucketed_colocated_join" ->
+      """SELECT c_custkey, round(sum(o_totalprice), 2) AS total,
+         CAST(count(*) AS BIGINT) AS cnt
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey""",
     "a1_metric_counters" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
          round(sum(value),2) AS sum_value,

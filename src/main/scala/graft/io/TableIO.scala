@@ -225,6 +225,18 @@ object TableIO {
   def readStage(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Write `df` as a Spark BUCKETED catalog table: both sides of a join
+    * bucketed by the same key and count scan pre-partitioned, so the join
+    * plans with ZERO exchange on either side — the co-located-join layout
+    * for repeated large-large joins (e.g. triples ⨝ entity-resolution by
+    * subject) where re-shuffling per query would dominate at 10^12 rows.
+    * In-partition sort on the key gives merge-join-ready runs. */
+  def writeBucketedTable(df: DataFrame, table: String, keyCol: String,
+      nBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, keyCol).sortBy(keyCol)
+      .saveAsTable(table)
+
   /** Verify written data against the manifest lineage (count + checksum per
     * bucket). Returns mismatching buckets (empty = healthy). */
   def auditStage(spark: SparkSession, path: String, keyCol: String): Seq[Int] = {

@@ -10,6 +10,8 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-test-warehouse")
       .config("spark.ui.enabled", false)
       .config("spark.driver.host", "localhost")
       .getOrCreate()

@@ -73,6 +73,26 @@ class TableIOSpec extends SparkSpec {
     assert(bad === Seq(2))
   }
 
+  test("co-located join over bucketed tables plans with ZERO exchange") {
+    import spark.implicits._
+    val a = (0 until 400).map(i => (i.toLong % 50, s"a$i")).toDF("k", "va")
+    val b = (0 until 300).map(i => (i.toLong % 50, s"b$i")).toDF("k", "vb")
+    TableIO.writeBucketedTable(a, "t_buck_a", "k", 8)
+    TableIO.writeBucketedTable(b, "t_buck_b", "k", 8)
+    // disable broadcast so the shuffle-free-ness comes from bucketing alone
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("t_buck_a")
+        .join(spark.table("t_buck_b"), "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"co-located join must not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      // and it is correct: every k matches 8×6 pairings
+      assert(j.count() === 50L * 8 * 6)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("Pipeline resume: partial extract run is completed, not recomputed") {
     val dir = tmpDir() + "/p1"
     val cfg = Pipeline.Config(dir, nBuckets = 8)
