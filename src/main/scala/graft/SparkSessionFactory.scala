@@ -18,10 +18,12 @@ object SparkSessionFactory {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // bucketed-table warehouse (co-located joins); a deployment overrides
-      // this with its real metastore/warehouse — keep the sandbox default
-      // out of the working directory
+      // this with its real metastore/warehouse — the sandbox default stays
+      // out of the working directory and is per-process so concurrent local
+      // JVMs (driver + bench) never collide on table paths
       .config("spark.sql.warehouse.dir",
-        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+          s"/graft-warehouse-${ProcessHandle.current().pid()}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")

@@ -11,7 +11,8 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
-        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-test-warehouse")
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+          s"/graft-test-warehouse-${ProcessHandle.current().pid()}")
       .config("spark.ui.enabled", false)
       .config("spark.driver.host", "localhost")
       .getOrCreate()
