@@ -206,6 +206,10 @@ object SparkEntry {
       t(s, dir, "documents")
         .groupBy(lower(regexp_replace(col("text"), "\\s+", " ")).as("norm"))
         .agg(min("doc_id").as("keeper"), count(lit(1)).as("group_size"))),
+    // the Dedup.exact OPERATOR itself (keeper/group assignment per doc —
+    // hash-independent semantics, so fully oracle-checkable)
+    "dedup_exact_keeper" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(
         t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text",
@@ -504,6 +508,14 @@ object SparkEntry {
       """SELECT lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm,
          min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS group_size
          FROM documents GROUP BY 1""",
+    "dedup_exact_keeper" ->
+      """WITH g AS (
+           SELECT lower(regexp_replace(coalesce(text,''), '\s+', ' ', 'g')) AS norm,
+                  min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS group_size
+           FROM documents GROUP BY 1)
+         SELECT d.doc_id, g.keeper, g.group_size
+         FROM documents d
+         JOIN g ON lower(regexp_replace(coalesce(d.text,''), '\s+', ' ', 'g')) = g.norm""",
     "dedup_ngram_jaccard" ->
       """WITH raw AS (
            SELECT doc_id, unnest(list_transform(
