@@ -9,6 +9,17 @@ import org.apache.spark.sql.SparkSession
   */
 object SparkSessionFactory {
 
+  /** Per-process scratch dir under tmp (warehouse etc.): concurrent local
+    * JVMs (driver + bench + tests) must not collide on table paths; a
+    * shutdown hook removes it so repeated runs don't fill the host tmp. */
+  def scratchDir(prefix: String): String = {
+    val dir = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      s"/$prefix-${ProcessHandle.current().pid()}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))))
+    dir
+  }
+
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
@@ -18,12 +29,8 @@ object SparkSessionFactory {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       // bucketed-table warehouse (co-located joins); a deployment overrides
-      // this with its real metastore/warehouse — the sandbox default stays
-      // out of the working directory and is per-process so concurrent local
-      // JVMs (driver + bench) never collide on table paths
-      .config("spark.sql.warehouse.dir",
-        sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-          s"/graft-warehouse-${ProcessHandle.current().pid()}")
+      // this with its real metastore/warehouse
+      .config("spark.sql.warehouse.dir", scratchDir("graft-warehouse"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")

@@ -284,7 +284,7 @@ object Dedup {
     // Thresholds beyond Int.MaxValue can't be probed via limit (its cap
     // would make the check vacuously true) — fall back to an exact count.
     val exact = localThreshold > 0 && {
-      if (localThreshold >= Int.MaxValue - 1L) df.count() <= localThreshold
+      if (localThreshold > Int.MaxValue - 1L) df.count() <= localThreshold
       else df.limit(localThreshold.toInt + 1).count() <= localThreshold
     }
     val pairs =

@@ -11,8 +11,7 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir",
-        sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-          s"/graft-test-warehouse-${ProcessHandle.current().pid()}")
+        SparkSessionFactory.scratchDir("graft-test-warehouse"))
       .config("spark.ui.enabled", false)
       .config("spark.driver.host", "localhost")
       .getOrCreate()
