@@ -96,6 +96,34 @@ class StreamDedupSpec extends SparkSpec {
   }
 }
 
+class StreamSimhashDedupSpec extends SparkSpec {
+
+  test("streaming simhash suppression collapses signature-identical variants") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-simdedup").toString
+    val inDir = s"$root/in"
+    val outDir = s"$root/out"
+    val base = "spark catalyst tungsten codegen shuffle partition broadcast join " * 3
+    Seq(
+      (1L, base),
+      (2L, base.replace(" ", "  ") + " "), // whitespace drift: same simhash
+      (3L, "entirely different words about unrelated topics and matters " * 3))
+      .toDF("doc_id", "text")
+      .withColumn("warc_ts", (lit(1767225600L) + col("doc_id")).cast("timestamp"))
+      .write.parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val q = graft.streaming.StreamDedup.simhashDedup(
+        spark.readStream.schema(schema).parquet(inDir))
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(outDir)
+    assert(got.count() === 2) // docs 1/2 share a signature; 3 survives
+    assert(got.select("sim").distinct().count() === 2)
+  }
+}
+
 class MediaSpec extends SparkSpec {
 
   test("header parse round-trips the synthetic container") {
