@@ -58,12 +58,14 @@ object Encoder {
 
   /** Encode (context, question) into fixed-width arrays. Truncation is
     * longest-first (HuggingFace `truncation=True` default): trim the longer
-    * sequence one char at a time until 3 + |ctx| + |q| <= maxSeq. */
+    * sequence one char at a time until 3 + |ctx| + |q| <= maxSeq. HF's
+    * truncate_sequences pops `ids` (the context) only when STRICTLY longer
+    * than `pair_ids` — ties trim the QUESTION, so the tie-break must too. */
   def encode(context: String, question: String, maxSeq: Int): EncodedRow = {
     var lenCtx = context.length
     var lenQ = question.length
     while (3 + lenCtx + lenQ > maxSeq) {
-      if (lenCtx >= lenQ) lenCtx -= 1 else lenQ -= 1
+      if (lenCtx > lenQ) lenCtx -= 1 else lenQ -= 1
     }
     val ids = new Array[Int](maxSeq)
     val mask = new Array[Int](maxSeq)

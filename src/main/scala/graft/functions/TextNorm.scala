@@ -64,10 +64,12 @@ object TextNorm {
 
   def chineseToEnglishPunct(c: Column): Column = translate(c, punctFrom, punctTo)
 
-  def chineseToEnglishPunctStr(s: String): String = {
-    val map = punctFrom.zip(punctTo).toMap
-    s.map(ch => map.getOrElse(ch, ch))
-  }
+  // hoisted: this runs once per entity surface at corpus scale (Linker) —
+  // rebuilding the map per call would allocate on the hot path
+  private val punctMap: Map[Char, Char] = punctFrom.zip(punctTo).toMap
+
+  def chineseToEnglishPunctStr(s: String): String =
+    s.map(ch => punctMap.getOrElse(ch, ch))
 
   // ---------------------------------------------------------------- T3
   // Full-width → half-width: U+3000 → space, U+FF01..U+FF5E → cp-0xFEE0.

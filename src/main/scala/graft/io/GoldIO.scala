@@ -52,8 +52,12 @@ object GoldIO {
   }
 
   /** Prediction-compat view: per-document JSON line exactly shaped like the
-    * reference sink (run_qa.py:498-508) — nested spo_list per text. */
-  def predictionJson(triples: Dataset[Triple], pages: DataFrame): DataFrame = {
+    * reference sink (run_qa.py:498-508) — nested spo_list per text. Lines
+    * are emitted for exactly the docs the predict loop PROCESSES (prepared:
+    * lang/keyword/length-filtered, newline-stripped), so gold↔pred files
+    * stay line-aligned for the reference's index-paired evaluator. */
+  def predictionJson(triples: Dataset[Triple], pages: DataFrame,
+      cfg: graft.pipeline.ExtractorConfig = graft.pipeline.ExtractorConfig()): DataFrame = {
     val spo = triples.toDF()
       .groupBy("url")
       .agg(collect_list(struct(
@@ -62,7 +66,7 @@ object GoldIO {
         col("objectType").as("object_type"),
         col("obj").as("object"),
         col("relation"))).as("spo_list"))
-    pages.select("url", "text")
+    graft.pipeline.Extract.prepare(pages, cfg)
       .join(spo, Seq("url"), "left")
       .select(col("url"),
         to_json(struct(col("text"),

@@ -46,11 +46,15 @@ object ExtractorModel {
 object Extract {
 
   /** F2/F3 + lang prep as native columns (predicate pushdown, column
-    * pruning: only url/text survive). */
-  def prepare(pages: DataFrame, cfg: ExtractorConfig): DataFrame = {
+    * pruning: only url/text — plus any `keep` passthrough columns, e.g. the
+    * event-time column the streaming monitor needs — survive). Single
+    * definition of the filter chain: batch extract and streaming both call
+    * this, so they can never silently diverge. */
+  def prepare(pages: DataFrame, cfg: ExtractorConfig, keep: Seq[String] = Nil): DataFrame = {
     val base = cfg.langFilter.fold(pages)(l => pages.filter(col("lang") === lit(l)))
     base
-      .select(col("url"), regexp_replace(col("text"), "\n", "").as("text"))
+      .select(col("url") +: regexp_replace(col("text"), "\n", "").as("text") +:
+        keep.map(col): _*)
       .filter(length(col("text")) > 0 &&
         !col("text").contains("肝") && !col("text").contains("胃") &&
         !col("text").contains("甲状腺"))

@@ -20,7 +20,7 @@ object Sessionize {
   final case class SessionState(start: Long, last: Long, events: Long)
   final case class Session(userId: Long, start: Timestamp, end: Timestamp, events: Long)
 
-  def updateUser(gapMs: Long)(userId: Long, rows: Iterator[Event],
+  def updateUser(gapMs: Long, finalizeAtEnd: Boolean)(userId: Long, rows: Iterator[Event],
       state: GroupState[SessionState]): Iterator[Session] = {
     val out = List.newBuilder[Session]
 
@@ -40,30 +40,38 @@ object Sessionize {
           out += Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.events)
           cur = Some(SessionState(t, t, 1))
         case Some(s) =>
-          cur = Some(SessionState(s.start, math.max(s.last, t), s.events + 1))
+          // a late event can precede the stored session start — extend BOTH
+          // bounds so the emitted window covers every counted event
+          cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.events + 1))
         case None =>
           cur = Some(SessionState(t, t, 1))
       }
     }
     cur.foreach { s =>
-      state.update(s)
-      if (state.getOption.isDefined) {
-        // close via event-time timeout once the watermark passes last + gap
-        try state.setTimeoutTimestamp(s.last + gapMs)
-        catch { case _: UnsupportedOperationException => () } // batch mode
+      if (finalizeAtEnd) {
+        // BATCH: timeouts never fire and this group is never re-invoked —
+        // the open trailing session must be emitted now or it is silently
+        // lost (setTimeoutTimestamp is a silent no-op in batch execution)
+        out += Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.events)
+        state.remove()
+      } else {
+        state.update(s)
+        // streaming: close via event-time timeout once the watermark passes
+        state.setTimeoutTimestamp(s.last + gapMs)
       }
     }
     out.result().iterator
   }
 
   /** Streaming (or batch) sessionization; input must carry a watermark on
-    * `ts` when streaming. */
+    * `ts` when streaming. Batch inputs finalize trailing sessions at group
+    * end, so batch output covers every event (matches the SQL-window twin). */
   def sessions(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
       .groupByKey(_.userId)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
-        updateUser(gapMs))
+        updateUser(gapMs, finalizeAtEnd = !events.isStreaming))
   }
 }

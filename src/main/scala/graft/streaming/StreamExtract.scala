@@ -60,12 +60,10 @@ object StreamExtract {
   def tripleRate(pages: DataFrame, cfg: ExtractorConfig = ExtractorConfig()): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
-    val base = cfg.langFilter.fold(pages)(l => pages.filter(col("lang") === lit(l)))
-      .select(col("url"), col("warc_ts"),
-        regexp_replace(col("text"), "\n", "").as("text"))
-      .filter(length(col("text")) > 0 &&
-        !col("text").contains("肝") && !col("text").contains("胃") &&
-        !col("text").contains("甲状腺"))
+    // THE batch prepare (one definition of F2/F3/lang), with the event-time
+    // column riding through for the watermark
+    val base = Extract.prepare(pages, cfg, keep = Seq("warc_ts"))
+      .select("url", "warc_ts", "text")
     base.as[(String, java.sql.Timestamp, String)]
       .mapPartitions { docs =>
         val (gaz, kernel) = graft.pipeline.ExtractorModel.get(cfg.kernel)

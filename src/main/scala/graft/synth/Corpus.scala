@@ -80,28 +80,45 @@ object Corpus {
       val rels = rng.shuffle(avail).take(k)
       rels.foreach(usedRelations += _)
       val objs = rels.map { r =>
-        val o =
-          if (r == "Size") {
-            val half = Lexicon.sizePhrase(5 + rng.nextInt(45), 3 + rng.nextInt(25))
-            if (fnNoise && planted.isEmpty) Lexicon.toFullWidthDigits(half) else half
-          } else {
+        val oRaw =
+          if (r == "Size") Lexicon.sizePhrase(5 + rng.nextInt(45), 3 + rng.nextInt(25))
+          else {
             val lex = Lexicon.objects(r)
             lex(zipfPick(rng, lex.size))
           }
+        // Recall-attack noise fires on EVERY fn-noisy doc (its first planted
+        // object): full-width digits for Size, an in-vocabulary-breaking
+        // char substitution otherwise — gold keeps the mutated surface at
+        // its span, the gazetteer-distilled tagger cannot match it.
+        val o =
+          if (fnNoise && planted.isEmpty) {
+            if (r == "Size") Lexicon.toFullWidthDigits(oRaw)
+            else if (oRaw.length >= 2) oRaw.updated(oRaw.length / 2, '某')
+            else oRaw + "某"
+          } else oRaw
         planted += ((st, surf, r, o))
         o
       }
-      // False-positive noise: an object phrase for a relation this subject was
-      // NOT planted with — the tagger will find it, gold won't contain it.
+      // Precision-attack noise: an extra object phrase the gold does NOT
+      // contain — the tagger will find it. Prefer a relation this subject
+      // was not planted with; when the type's relation set is exhausted,
+      // fall back to a SECOND (different) phrase of an already-planted
+      // relation, which is still a guaranteed false positive.
       val extra =
         if (fpNoise && fpPhrase.isEmpty && st == types.last) {
-          val candRels = Ontology.questionTurn(st)
+          val unused = Ontology.questionTurn(st)
             .filterNot(usedRelations).filter(r => Lexicon.objects(r).nonEmpty)
-          if (candRels.nonEmpty) {
-            val r = candRels(rng.nextInt(candRels.size))
-            val lex = Lexicon.objects(r)
-            fpPhrase = Some(lex(rng.nextInt(lex.size)))
-            fpPhrase.toList
+          val pool =
+            if (unused.nonEmpty) unused
+            else rels.filter(r => r != "Size" && Lexicon.objects(r).size >= 2)
+          if (pool.nonEmpty) {
+            val r = pool(rng.nextInt(pool.size))
+            val already = planted.collect { case (_, _, `r`, o) => o }.toSet
+            val lex = Lexicon.objects(r).filterNot(already)
+            if (lex.nonEmpty) {
+              fpPhrase = Some(lex(rng.nextInt(lex.size)))
+              fpPhrase.toList
+            } else Nil
           } else Nil
         } else Nil
       sentences += (surf +: (objs ++ extra)).mkString("，") + "。"

@@ -62,10 +62,21 @@ class GoldIOSpec extends SparkSpec {
 
   test("prediction-compat JSON lines match the reference sink shape") {
     import spark.implicits._
+    // one extra page that passes every filter but contains no entity —
+    // exercises the empty-spo_list line the reference writes for such docs
+    val blank = Seq(("https://synth.test/blank/1",
+      new java.sql.Timestamp(Corpus.BaseTs),
+      "<p>平凡</p>".getBytes("UTF-8"), "这是一段没有任何病灶实体的平凡描述。", "zh"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
     val pages = Corpus.pages(spark, 60, seed = 42, noisyFrac = 0.0).toDF()
+      .unionByName(blank)
     val triples = Extract.triples(pages)
     val js = GoldIO.predictionJson(triples, pages)
-    assert(js.count() === pages.count()) // one line per doc, even empty ones
+    // one line per PROCESSED doc (the reference sink writes only docs that
+    // pass the predict loop's filters), even when a doc yields no triples
+    assert(js.count() === Extract.prepare(pages,
+      graft.pipeline.ExtractorConfig()).count())
+    assert(js.count() < pages.count()) // chaff docs are excluded, like run_qa
     val sample = js.filter(col("json").contains("subject_type")).head().getAs[String]("json")
     assert(sample.contains("\"subject_type\""))
     assert(sample.contains("\"relation\""))

@@ -43,7 +43,7 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("batch: same function sessionizes a static dataset") {
+  test("batch: same function sessionizes a static dataset, incl. trailing sessions") {
     import spark.implicits._
     val events = Seq(
       Event(7, ts(0), "a"), Event(7, ts(10), "b"), Event(7, ts(100), "c"),
@@ -51,7 +51,34 @@ class SessionizeSpec extends SparkSpec {
     ).toDS()
     val got = Sessionize.sessions(events, gapMs = 30000L).collect()
       .map(s => (s.userId, s.start.getTime, s.events)).toSet
-    // batch mode has no timeouts: only gap-closed sessions are emitted
     assert(got.contains((7L, ts(0).getTime, 2L)))
+    // batch has no timeouts — the trailing (still-open) sessions must be
+    // emitted at group end, not silently dropped
+    assert(got.contains((7L, ts(100).getTime, 1L)))
+    assert(got.contains((8L, ts(50).getTime, 1L)))
+    assert(got.size === 3)
+  }
+
+  test("late out-of-order event extends the session START, not just the end") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = Sessionize.sessions(
+      input.toDS().withWatermark("ts", "60 seconds").as[Event], gapMs = 30000L)
+    val q = sessions.writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(Event(9, ts(100), "view"))
+      q.processAllAvailable()
+      // a LATE event (t=95 < stored start=100) that is still inside the
+      // watermark joins the session and must pull start back to 95
+      input.addData(Event(9, ts(95), "view"))
+      q.processAllAvailable()
+      input.addData(Event(10, ts(500), "view")) // advance watermark → timeout
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM late_sessions").as[Session].collect()
+        .map(s => (s.userId, s.start.getTime, s.end.getTime, s.events)).toSet
+      assert(got.contains((9L, ts(95).getTime, ts(100).getTime, 2L)), got)
+    } finally q.stop()
   }
 }
