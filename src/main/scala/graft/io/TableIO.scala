@@ -57,9 +57,12 @@ object TableIO {
     val f = fs(spark, mp)
     val out = f.create(tmp, true)
     try out.write(renderSnapshot(snap).getBytes(UTF_8)) finally out.close()
-    if (f.exists(mp)) f.delete(mp, false)
-    if (!f.rename(tmp, mp))
-      throw new java.io.IOException(s"manifest commit failed for $path")
+    // OVERWRITE rename (FileContext): one atomic step — a delete-then-rename
+    // pair would leave a crash window with data on disk and NO manifest,
+    // which the unmanaged-data guard then refuses to resume
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      mp.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, mp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   // hand-rolled JSON (no extra deps); fields are flat and numeric apart from
@@ -151,18 +154,25 @@ object TableIO {
     // fully committed → a true no-op: the input plan is not even evaluated
     if (done.size == nBuckets) return 0
 
-    val withBucket = df.withColumn("bucket", bucketCol(keyCol, nBuckets))
+    // null keys cannot be content-bucketed: they would land in the hive
+    // default partition OUTSIDE every manifest, silently breaking the
+    // "checksum attests what a reader sees" contract — drop them EXPLICITLY
+    // (documented poison-pill policy, consistent with pendingInput)
+    val withBucket = df.filter(col(keyCol).isNotNull)
+      .withColumn("bucket", bucketCol(keyCol, nBuckets))
     val pending = excludeBuckets(withBucket, col("bucket"), done)
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     // repartition on the partition column first: a dynamic-partition write
     // straight from N input tasks emits N×buckets files (catastrophic at
     // 10^5 tasks × 10^5 buckets); keyed repartition makes it one file per
-    // bucket, and the in-partition sort gives parquet run-length locality
+    // bucket, and the in-partition sort gives parquet run-length locality.
+    // Overwrite mode is per-WRITE (option), not a session-global conf flip.
     pending
       .repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col(keyCol))
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(path)
 
     // lineage from the written files: per-bucket count + order-independent
     // checksum of the key, over the NEW bucket directories only — the
@@ -194,7 +204,17 @@ object TableIO {
     manifests.length
   }
 
-  /** Input rows whose bucket is NOT yet committed for (path, stage). */
+  /** Buckets already committed for (path, stage, nBuckets, snapshot). */
+  def committedBuckets(spark: SparkSession, path: String, stage: String,
+      nBuckets: Int, inputSnapshot: String = ""): Set[Int] =
+    readSnapshot(spark, path)
+      .filter(s => s.stage == stage && s.nBuckets == nBuckets &&
+        s.inputSnapshot == inputSnapshot)
+      .map(_.committed).getOrElse(Set.empty)
+
+  /** Input rows whose bucket is NOT yet committed for (path, stage).
+    * Null-key rows are dropped (the same policy writeStage applies — they
+    * cannot be content-bucketed or attested). */
   def pendingInput(input: DataFrame, keyCol: String, path: String, stage: String,
       nBuckets: Int, inputSnapshot: String = ""): DataFrame = {
     val spark = input.sparkSession
@@ -202,7 +222,8 @@ object TableIO {
       .filter(s => s.stage == stage && s.nBuckets == nBuckets &&
         s.inputSnapshot == inputSnapshot)
       .map(_.committed).getOrElse(Set.empty)
-    excludeBuckets(input, bucketCol(keyCol, nBuckets), done)
+    excludeBuckets(input.filter(col(keyCol).isNotNull),
+      bucketCol(keyCol, nBuckets), done)
   }
 
   /** Filter out rows whose bucket is in `done`. Small sets inline as an

@@ -101,6 +101,12 @@ object ConnectedComponents {
       cur = next
       it += 1
     }
+    // silently returning components from a NON-star edge set would split
+    // entities across canonical ids with no signal — fail loudly instead
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not reach a fixed point in $maxIter rounds " +
+          s"(last signature $lastSig) — raise maxIter")
 
     // converged: every edge is (node -> root of its component)
     val mapping = cur.groupBy("src").agg(min("dst").as("component"))

@@ -55,6 +55,9 @@ object Linker {
       neighborWindow: Int = 8): DataFrame = {
     val spark = surf.sparkSession
     import spark.implicits._
+    require(bands >= 1 && k % bands == 0,
+      s"minhash lanes k=$k must be a positive multiple of bands=$bands " +
+        "(otherwise band keys degenerate or lanes are silently ignored)")
     val rows = k / bands
     val banded = surf.flatMap { sk =>
       val mh = Hashing.minhash(Hashing.charShingles(sk.norm, shingleN), k)

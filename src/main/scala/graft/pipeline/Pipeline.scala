@@ -49,6 +49,12 @@ object Pipeline {
     * pushdown-eligible filters, so the scan plan is byte-identical to the
     * un-instrumented one. */
   def runExtract(pages: DataFrame, cfg: Config): StageRun = {
+    // fully-committed resume: return BEFORE wiring observations —
+    // writeStage would no-op without ever executing the observed plan, and
+    // Observation.get blocks forever on a plan that never runs
+    val committed = TableIO.committedBuckets(pages.sparkSession, triplesDir(cfg),
+      "extract", cfg.nBuckets, cfg.inputSnapshot)
+    if (committed.size == cfg.nBuckets) return StageRun(0, Map.empty)
     val obsPrep = Observation()
     val obsOut = Observation()
     val pending = TableIO.pendingInput(pages, "url", triplesDir(cfg), "extract",
@@ -64,14 +70,34 @@ object Pipeline {
       "extract_triples_out" -> observedCount(obsOut)))
   }
 
-  /** Runs (or skips) the canonicalize stage over the full triples table. */
+  /** Runs (or skips) the canonicalize stage over the full triples table.
+    *
+    * Staleness guard: canonicalize is a corpus-GLOBAL derivation, so its
+    * snapshot is keyed to the extract stage's committed lineage (bucket set
+    * + checksums). A later run that extends extract (bucket-grain resume)
+    * changes that signature, which invalidates the previous canonical table
+    * and rebuilds it — without this, a canonicalize committed against a
+    * partial extract would be silently skipped forever. */
   def runCanonicalize(spark: SparkSession, cfg: Config): StageRun = {
-    val done = TableIO.readSnapshot(spark, canonicalDir(cfg))
-      .exists(s => s.stage == "canonicalize" && s.inputSnapshot == cfg.inputSnapshot &&
-        s.buckets.nonEmpty)
+    val extractSig = TableIO.readSnapshot(spark, triplesDir(cfg))
+      .filter(s => s.stage == "extract" && s.inputSnapshot == cfg.inputSnapshot)
+      .map(s => java.lang.Long.toHexString(graft.ops.Hashing.hash64(
+        s.buckets.sortBy(_.bucket)
+          .map(b => s"${b.bucket}:${b.rowCount}:${b.checksum}").mkString("|"))))
+      .getOrElse("none")
+    val canonSnapshot = s"${cfg.inputSnapshot}@extract=$extractSig"
+    val existing = TableIO.readSnapshot(spark, canonicalDir(cfg))
+    val done = existing.exists(s => s.stage == "canonicalize" &&
+      s.inputSnapshot == canonSnapshot && s.buckets.nonEmpty)
     if (done) StageRun(0, Map.empty)
     else {
       import spark.implicits._
+      // a canonical table derived from an OLDER extract signature is stale
+      // derived data — clear it and rebuild from the current triples table
+      if (existing.isDefined) {
+        val p = new org.apache.hadoop.fs.Path(canonicalDir(cfg))
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
       val obsIn = Observation()
       val obsOut = Observation()
       val triples = TableIO.readStage(spark, triplesDir(cfg))
@@ -81,7 +107,7 @@ object Pipeline {
       val canonical = Linker.canonicalTriples(triples).toDF()
         .observe(obsOut, count(lit(1)).as("rows"))
       val n = TableIO.writeStage(canonical, canonicalDir(cfg), "canonicalize",
-        "subject", math.max(cfg.nBuckets / 8, 1), cfg.inputSnapshot)
+        "subject", math.max(cfg.nBuckets / 8, 1), canonSnapshot)
       StageRun(n, Map(
         "link_triples_in" -> observedCount(obsIn),
         "link_canonical_out" -> observedCount(obsOut)))

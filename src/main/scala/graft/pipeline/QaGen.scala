@@ -25,12 +25,16 @@ object QaGen {
   /** qa_samples table (FIXTURES.md §3):
     * (url, context, question, question_type, subject_token, labels). */
   def qaSamples(pages: DataFrame, gold: Dataset[GoldTriple],
-      numNegSample: Int = 10): DataFrame = {
+      numNegSample: Int = 10, maxSeq: Int = 168): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
 
-    val ctx = pages.select(col("url"), col("text").as("context"))
-    val g = gold.toDF()
+    // F1 — the reference's training-path length gate: contexts at or above
+    // max_seq - 20 chars are SKIPPED entirely, not truncated
+    // (data/data_utils.py:491); gold for gated-out docs is dropped with them
+    val ctx = pages.filter(length(col("text")) < maxSeq - 20)
+      .select(col("url"), col("text").as("context"))
+    val g = gold.toDF().join(ctx.select("url"), Seq("url"), "left_semi")
 
     // subject type -> question / tag id dims (broadcast closure constants)
     val subjQ = Ontology.subject2question.map { case (t, q) =>
@@ -54,9 +58,12 @@ object QaGen {
       .select(col("url"), col("question"), col("question_type"),
         lit("").as("subject_token"), array(col("span")).as("labels"))
 
-    // positive relation samples: distinct object spans per (url, type, rel)
+    // positive relation samples: distinct object spans per (url, type, rel);
+    // subject_token = the LAST-planted subject of the type (max_by on span
+    // start), the same deterministic slot subjectSamples and negatives use —
+    // first() would be partitioning-dependent
     val positives = g.groupBy("url", "subjectType", "relation")
-      .agg(first("subject").as("subject_token"),
+      .agg(max_by(col("subject"), col("spanSubject.start")).as("subject_token"),
         array_sort(array_distinct(collect_list(col("spanObject")))).as("labels"))
 
     // J7 negatives: allowed relations never planted for this subject
@@ -86,11 +93,16 @@ object QaGen {
         col("rel_question_type").as("question_type"),
         col("subject_token"), col("labels"))
 
+    val base = subjectSamples.unionByName(
+      relationSamples.drop("subjectType"))
+
     // O3: positive oversampling rate = min(neg,10)/len(pos)/2, computed per
-    // doc over relation samples (the reference accumulates its counters
-    // incrementally inside the per-subject loop; the per-doc formulation is
-    // the order-independent equivalent suitable for a distributed plan)
-    val counts = relationSamples
+    // doc (the reference accumulates its counters incrementally inside the
+    // per-subject loop; the per-doc formulation is the order-independent
+    // equivalent suitable for a distributed plan). len(pos) counts EVERY
+    // positive sample — the turn-1 subject entries included, exactly as the
+    // reference's pos_samples list is built (data_utils.py:285-289,333-336)
+    val counts = base
       .groupBy("url")
       .agg(
         sum(when(size(col("labels")) > 0, 1).otherwise(0)).as("n_pos"),
@@ -100,9 +112,6 @@ object QaGen {
           floor(least(col("n_neg"), lit(numNegSample)) / col("n_pos") / 2))
           .otherwise(lit(0)))
       .select("url", "rate")
-
-    val base = subjectSamples.unionByName(
-      relationSamples.drop("subjectType"))
 
     val oversampled = base
       .filter(size(col("labels")) > 0)

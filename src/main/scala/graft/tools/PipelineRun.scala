@@ -27,13 +27,13 @@ object PipelineRun {
     val pendingBefore = TableIO.pendingInput(pages, "url", Pipeline.triplesDir(cfg),
       "extract", cfg.nBuckets, cfg.inputSnapshot).count()
     val extractRun = Pipeline.runExtract(pages, cfg)
-    val canonRun =
-      if (bucketLimit.isEmpty) Pipeline.runCanonicalize(spark, cfg)
-      else Pipeline.StageRun(0, Map.empty)
+    // canonicalize is safe on a PARTIAL extract too: its snapshot is keyed
+    // to the extract lineage signature, so a later fuller extract
+    // invalidates and rebuilds it (Pipeline.runCanonicalize)
+    val canonRun = Pipeline.runCanonicalize(spark, cfg)
     val triples = TableIO.readStage(spark, Pipeline.triplesDir(cfg)).count()
     val audit = TableIO.auditStage(spark, Pipeline.triplesDir(cfg), "url")
-    val canon = if (bucketLimit.isEmpty)
-      TableIO.readStage(spark, Pipeline.canonicalDir(cfg)).count() else -1L
+    val canon = TableIO.readStage(spark, Pipeline.canonicalDir(cfg)).count()
     val stageMetrics = (extractRun.metrics ++ canonRun.metrics)
       .toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" ")
     println(s"[pipeline] pendingInputRows=$pendingBefore newBuckets=${extractRun.newBuckets} " +

@@ -126,6 +126,25 @@ class TableIOSpec extends SparkSpec {
     assert(TableIO.readStage(spark, Pipeline.canonicalDir(cfg)).count() > 0)
   }
 
+  test("canonicalize rebuilds when a resumed extract extends the triples table") {
+    val dir = tmpDir() + "/p3"
+    val cfg = Pipeline.Config(dir, nBuckets = 8)
+    val pages = Corpus.pages(spark, 200, seed = 42, noisyFrac = 0.0).toDF()
+    // canonicalize against a PARTIAL extract...
+    Pipeline.runExtract(pages.filter(TableIO.bucketCol("url", 8) < 4), cfg)
+    assert(Pipeline.runCanonicalize(spark, cfg).newBuckets > 0)
+    val partialCanon = TableIO.readStage(spark, Pipeline.canonicalDir(cfg)).count()
+    // ...then the extract resumes with the full input: the canonical table
+    // derived from the old extract signature is stale and must be rebuilt
+    Pipeline.runExtract(pages, cfg)
+    assert(Pipeline.runCanonicalize(spark, cfg).newBuckets > 0,
+      "stale canonical table must be rebuilt, not skipped")
+    val fullCanon = TableIO.readStage(spark, Pipeline.canonicalDir(cfg)).count()
+    assert(fullCanon > partialCanon)
+    // and once rebuilt against the final signature, it is skipped again
+    assert(Pipeline.runCanonicalize(spark, cfg).newBuckets === 0)
+  }
+
   test("writeStage evaluates the input plan exactly ONCE (inference runs 1x)") {
     import spark.implicits._
     val dir = tmpDir() + "/t5"
