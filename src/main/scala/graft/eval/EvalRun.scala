@@ -27,7 +27,9 @@ object EvalRun {
       cfg: ExtractorConfig = ExtractorConfig()): Dataset[(Int, Metrics.EvalSample)] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    QaGen.qaSamples(pages, gold)
+    // maxSeq flows from cfg so the F1 length gate and the encoder always
+    // truncate at the SAME bound — a split value silently skews alignment
+    QaGen.qaSamples(pages, gold, maxSeq = cfg.maxSeq)
       .select("url", "context", "question", "question_type", "subject_token", "labels")
       .as[(String, String, String, Int, String, Seq[Span])]
       .mapPartitions { rows =>

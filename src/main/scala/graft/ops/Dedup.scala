@@ -164,6 +164,13 @@ object Dedup {
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
     val all = vecs.collect().sortBy(_._1)
+    // mixed dimensions would silently mis-dot (or AIOOBE) — fail fast
+    all.headOption.map(_._2.length).foreach { d =>
+      all.find(_._2.length != d).foreach { case (id, v) =>
+        throw new IllegalArgumentException(
+          s"mixed embedding dimensions: id=$id has ${v.length}, expected $d")
+      }
+    }
     val norms = all.map { case (_, v) =>
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i) * v(i); i += 1 }
@@ -215,10 +222,19 @@ object Dedup {
     val vecs = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])].persist()
+    // dimension contract: the hyperplane matrix is sized once, so a row with
+    // a DIFFERENT vector length must fail fast (same discipline as
+    // bruteForceTopK's id-type check) — a lazily-sized matrix would AIOOBE
+    // on a longer row and silently truncate a shorter one. The probe is a
+    // bounded LocalLimit job on the persisted input, not a full pass.
+    val expectedDim = vecs.head(1).headOption.map(_._2.length).getOrElse(0)
     val sigs = vecs.mapPartitions { it =>
-      var planes: Array[Array[Double]] = null // lazily sized from the first row
+      var planes: Array[Array[Double]] = null // built once per task
       it.map { case (id, v) =>
-        if (planes == null) planes = Similarity.hyperplanes(v.length, bits)
+        if (v.length != expectedDim)
+          throw new IllegalArgumentException(
+            s"mixed embedding dimensions: id=$id has ${v.length}, expected $expectedDim")
+        if (planes == null) planes = Similarity.hyperplanes(expectedDim, bits)
         (id, Similarity.signBitsLocal(v, bits, planes))
       }
     }.toDF("id", "sig")
@@ -350,13 +366,18 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     // persisted: the self-join below would otherwise re-tokenize and
-    // re-simhash the corpus once per side
+    // re-simhash the corpus once per side. Blank/empty docs carry no content
+    // signature (simhashFeatures is empty) and are EXCLUDED from banding —
+    // an unguarded degenerate signature-0 band over all of them would be an
+    // O(n²) self-join of contentless rows; exact dedup owns those docs.
     val sigs = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
       .as[(Long, String)]
-      .map { case (id, text) =>
-        (id, Hashing.simhash(text.toLowerCase.split("\\W+").filter(_.nonEmpty)))
-      }.toDF("doc_id", "sim").persist()
+      .flatMap { case (id, text) =>
+        val f = Hashing.simhashFeatures(text)
+        if (f.isEmpty) None else Some((id, Hashing.simhash(f)))
+      }
+      .toDF("doc_id", "sim").persist()
     // bands of near-equal width covering all 64 bits (first `rem` bands get
     // the extra bit)
     val bands = maxHamming + 1

@@ -72,6 +72,28 @@ object Hashing {
     out
   }
 
+  /** SimHash feature set for a document: lowercased, whitespace-run-collapsed
+    * char trigrams. Char shingles (not `\W+` word tokens) keep the signature
+    * meaningful on punctuation-only and CJK text — an ASCII word tokenizer
+    * yields ZERO tokens on a pure-CJK page, collapsing every such distinct
+    * document to signature 0. Whitespace normalization (the same one the
+    * exact fingerprint applies) keeps formatting drift signature-invariant.
+    * Empty ⇔ the text is null/blank: such docs have no content signature and
+    * callers must exempt them from near-dup keying (fall back to the exact
+    * fingerprint). */
+  def simhashFeatures(text: String): Set[String] = {
+    if (text == null) return Set.empty
+    val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+    if (norm.isEmpty) Set.empty else charShingles(norm, 3)
+  }
+
+  /** 64-bit content simhash of a document ([[simhashFeatures]] ∘ [[simhash]]);
+    * 0L for null/empty text — degenerate, see [[simhashFeatures]]. */
+  def simhashText(text: String): Long = {
+    val f = simhashFeatures(text)
+    if (f.isEmpty) 0L else simhash(f)
+  }
+
   def jaccard(a: Set[String], b: Set[String]): Double = {
     if (a.isEmpty && b.isEmpty) 1.0
     else {

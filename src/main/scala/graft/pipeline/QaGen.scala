@@ -101,28 +101,31 @@ object QaGen {
     // per-subject loop; the per-doc formulation is the order-independent
     // equivalent suitable for a distributed plan). len(pos) counts EVERY
     // positive sample — the turn-1 subject entries included, exactly as the
-    // reference's pos_samples list is built (data_utils.py:285-289,333-336)
-    val counts = base
-      .groupBy("url")
-      .agg(
-        sum(when(size(col("labels")) > 0, 1).otherwise(0)).as("n_pos"),
-        sum(when(size(col("labels")) === 0, 1).otherwise(0)).as("n_neg"))
+    // reference's pos_samples list is built (data_utils.py:285-289,333-336).
+    //
+    // Plan shape: ONE pass over `base`. The per-doc counters are window
+    // aggregates over url (no orderBy → whole-partition frame), and each row
+    // explodes to 1 + rate copies (positives under oversampling) or exactly
+    // 1 copy — so the subject/positive/negative subtree above is planned and
+    // evaluated ONCE per action. The previous counts-join + oversample-branch
+    // + union formulation re-evaluated `base` (two groupBys, an anti-join, a
+    // window, two unions) ~3× per action — a constant-factor tax on every
+    // feature-prep and eval query at any scale.
+    val wUrl = Window.partitionBy("url")
+    val isPos = size(col("labels")) > 0
+    base
+      .withColumn("n_pos", sum(when(isPos, 1).otherwise(0)).over(wUrl))
+      .withColumn("n_neg", sum(when(isPos, 0).otherwise(1)).over(wUrl))
       .withColumn("rate",
         when(col("n_pos") > 0,
           floor(least(col("n_neg"), lit(numNegSample)) / col("n_pos") / 2))
           .otherwise(lit(0)))
-      .select("url", "rate")
-
-    val oversampled = base
-      .filter(size(col("labels")) > 0)
-      .join(counts, "url")
-      .filter(col("rate") > 0)
+      .withColumn("_copies",
+        when(isPos && col("rate") > 0, col("rate").cast("int") + 1).otherwise(lit(1)))
       .select(col("url"), col("question"), col("question_type"),
         col("subject_token"), col("labels"),
-        explode(sequence(lit(1), col("rate").cast("int"))).as("_copy"))
+        explode(sequence(lit(1), col("_copies"))).as("_copy"))
       .drop("_copy")
-
-    base.unionByName(oversampled)
       .join(ctx, "url")
       .select("url", "context", "question", "question_type", "subject_token", "labels")
   }

@@ -90,9 +90,7 @@ class DedupSpec extends SparkSpec {
     }
     val maxHamming = 12
     // exact ground truth with the operator's own tokenization
-    val sims = texts.map { case (id, t) =>
-      id -> Hashing.simhash(t.toLowerCase.split("\\W+").filter(_.nonEmpty))
-    }
+    val sims = texts.map { case (id, t) => id -> Hashing.simhashText(t) }
     val want = (for {
       (ia, sa) <- sims; (ib, sb) <- sims if ia < ib
       h = java.lang.Long.bitCount(sa ^ sb) if h <= maxHamming
@@ -101,6 +99,43 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.simhashPairs(texts.toDF("doc_id", "text"), "doc_id", "text",
         maxHamming).select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got === want, s"missing=${(want -- got).size} extra=${(got -- want).size}")
+  }
+
+  test("simhash signature is content-meaningful on CJK and punct-only text; " +
+      "empty docs are exempt from banding") {
+    import spark.implicits._
+    // ASCII \W+ tokenization would give ALL of these signature 0 and report
+    // every pair as a hamming-0 near-dup; char-trigram features keep distinct
+    // content distinct
+    val cjkA = "肺部未见 明显异常 密度影 纵隔居中 气管通畅 " * 3
+    val cjkB = "完全不同的放射学表现 胸膜增厚 伴少量积液 " * 3
+    val punct = "!!! ??? ;;; ***"
+    // doc 2: whitespace drift only — the normalized trigram features are
+    // IDENTICAL (hamming 0), so the pair is found at any radius
+    val df = docs(Seq((1L, cjkA), (2L, cjkA.replace(" ", "  ") + " "),
+      (3L, cjkB), (4L, punct), (5L, ""), (6L, "  "), (7L, "")))
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the ONLY near-dup is (1,2); distinct CJK/punct content must not pair,
+    // and empty docs (5,6,7) have no signature → no degenerate all-pairs band
+    assert(pairs === Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("mixed embedding dimensions fail fast on both cosine paths") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (3L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val e1 = intercept[Exception] {
+      Dedup.embeddingCosinePairs(df, "vec_id", "embedding", 0.5).collect()
+    }
+    assert(e1.getMessage.contains("mixed embedding dimensions") ||
+      Option(e1.getCause).exists(_.getMessage.contains("mixed embedding dimensions")))
+    val e2 = intercept[Exception] {
+      Dedup.embeddingCosinePairsLsh(df, "vec_id", "embedding", 0.5).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](e2)(_.getCause).takeWhile(_ != null)
+      .take(8).map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(msgs.contains("mixed embedding dimensions"), msgs)
   }
 
   test("embedding near-dup LSH path (no driver collect) clusters like exact") {

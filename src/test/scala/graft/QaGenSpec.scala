@@ -55,6 +55,25 @@ class QaGenSpec extends SparkSpec {
     }
   }
 
+  test("single evaluation: the sample subtree appears once in the plan") {
+    // r2 verdict hotspot: the counts-join + oversample-branch + union tail
+    // re-planned `base` ~3× per action. The window formulation keeps exactly
+    // ONE copy of the subtree — asserted via its unique marker nodes: the J7
+    // anti-join and the O2 downsample window's md5 ordering each occur once.
+    // Fresh inputs (not the suite-cached `qa` frame): the cache manager would
+    // otherwise substitute InMemoryRelation and hide the join structure.
+    val p2 = Corpus.pages(spark, 60, seed = 7, noisyFrac = 0.0).toDF()
+    val g2 = Corpus.gold(spark, 60, seed = 7, noisyFrac = 0.0)
+    val plan = QaGen.qaSamples(p2, g2).queryExecution.optimizedPlan
+    val antiJoins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti => j
+    }
+    assert(antiJoins.size === 1, s"expected 1 anti-join, got ${antiJoins.size}")
+    val md5s = plan.toString.sliding(4).count(_ == "md5(")
+    assert(md5s === 1, s"expected 1 md5 downsample key, got $md5s")
+  }
+
   test("deterministic: two runs produce identical samples") {
     val a = QaGen.qaSamples(pages, gold).collect().map(_.toString).sorted
     val b = QaGen.qaSamples(pages, gold).collect().map(_.toString).sorted

@@ -107,7 +107,14 @@ class StreamSimhashDedupSpec extends SparkSpec {
     Seq(
       (1L, base),
       (2L, base.replace(" ", "  ") + " "), // whitespace drift: same simhash
-      (3L, "entirely different words about unrelated topics and matters " * 3))
+      (3L, "entirely different words about unrelated topics and matters " * 3),
+      // degenerate + formerly-degenerate keys (ADVICE r2): blank docs have no
+      // signature and fall back to the exact fingerprint; punctuation-only
+      // and CJK docs get REAL char-trigram signatures (an ASCII \W+
+      // tokenizer gave all of these sim 0 and kept only the first)
+      (4L, ""), (5L, "   "), // blank variants — mutual exact dups, collapse
+      (6L, "!!! ??? ;;;"), (7L, "... --- ***"), // distinct punct-only: both survive
+      (8L, "肺部未见明显异常密度影" * 3), (9L, "胸膜增厚伴少量积液完全不同" * 3))
       .toDF("doc_id", "text")
       .withColumn("warc_ts", (lit(1767225600L) + col("doc_id")).cast("timestamp"))
       .write.parquet(inDir)
@@ -118,9 +125,15 @@ class StreamSimhashDedupSpec extends SparkSpec {
       .option("path", outDir).option("checkpointLocation", s"$root/ckpt")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
+    import spark.implicits._
     val got = spark.read.parquet(outDir)
-    assert(got.count() === 2) // docs 1/2 share a signature; 3 survives
-    assert(got.select("sim").distinct().count() === 2)
+    val ids = got.select("doc_id").as[Long].collect().toSet
+    // 1/2 collapse (whitespace drift), 4/5 collapse (blank ⇒ exact-dup), and
+    // every doc with DISTINCT content survives
+    assert(ids.intersect(Set(1L, 2L)).size === 1, s"got $ids")
+    assert(ids.intersect(Set(4L, 5L)).size === 1, s"got $ids")
+    assert(Set(3L, 6L, 7L, 8L, 9L).subsetOf(ids), s"got $ids")
+    assert(got.count() === 7)
   }
 }
 
