@@ -16,21 +16,36 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** @param edges DataFrame with two numeric columns (src, dst)
-    * @param localThreshold edge count at or below which the component
-    *        computation runs as a driver-side union-find (a few MB of ids)
-    *        instead of iterative distributed joins — the same size-based
-    *        strategy switch AQE applies to joins; each distributed round
-    *        costs several shuffles, pure overhead on small graphs
+    * @param localThreshold canonical-edge count at or below which the
+    *        component computation runs as a driver-side union-find (a few MB
+    *        of ids) instead of iterative distributed joins — the same
+    *        size-based strategy switch AQE applies to joins; each
+    *        distributed round costs several shuffles, pure overhead on
+    *        small graphs
     * @return DataFrame(id: Long, component: Long) — component = min node id
-    *         reachable; covers every node appearing in `edges`.
+    *         reachable; covers every node appearing in a non-self-loop edge
+    *         (pure self-loop nodes carry no linkage — callers left-join and
+    *         coalesce to self).
     */
   def run(edges: DataFrame, maxIter: Int = 25, localThreshold: Long = 500000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    if (localThreshold > 0 && edges.count() <= localThreshold) {
-      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
-        .as[(Long, Long)].collect()
+    def canon(df: DataFrame): DataFrame = df
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct()
+
+    // checkpoint FIRST, then count the checkpointed frame: the input plan is
+    // evaluated exactly once inside the operator no matter what the caller
+    // did upstream (the size probe and the first iteration both read the
+    // materialized edges, not the original — possibly kernel-bearing — plan)
+    val canonical = canon(edges).localCheckpoint()
+
+    if (localThreshold > 0 && canonical.count() <= localThreshold) {
+      val es = canonical.as[(Long, Long)].collect()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -40,21 +55,12 @@ object ConnectedComponents {
         r
       }
       es.foreach { case (a, b) =>
-        if (a != b) {
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-        }
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
       return nodes.toSeq.map(v => (v, find(v))).toDF("id", "component")
     }
-
-    def canon(df: DataFrame): DataFrame = df
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .select(greatest(col("src"), col("dst")).as("src"),
-        least(col("src"), col("dst")).as("dst"))
-      .distinct()
 
     // large-star: for every u, attach its LARGER neighbors to
     // min(Γ(u) ∪ {u}); small-star: attach the smaller-or-equal ones.
@@ -79,7 +85,7 @@ object ConnectedComponents {
         .union(mins.select(col("u").as("src"), col("m").as("dst")))
     }
 
-    var cur = canon(edges).localCheckpoint()
+    var cur = canonical
     var converged = false
     var it = 0
     var lastSig: Option[(Long, Long, Long)] = None

@@ -20,7 +20,7 @@ object Sessionize {
   final case class SessionState(start: Long, last: Long, events: Long)
   final case class Session(userId: Long, start: Timestamp, end: Timestamp, events: Long)
 
-  def updateUser(gapMs: Long, finalizeAtEnd: Boolean)(userId: Long, rows: Iterator[Event],
+  def updateUser(gapMs: Long)(userId: Long, rows: Iterator[Event],
       state: GroupState[SessionState]): Iterator[Session] = {
     val out = List.newBuilder[Session]
 
@@ -33,6 +33,10 @@ object Sessionize {
     }
 
     var cur = state.getOption
+    // per-MICRO-BATCH buffer+sort: bounded by one user's events within one
+    // trigger interval (watermark-bounded), unlike batch mode where a hot
+    // user's whole history would land here — that's why the batch path below
+    // is a sorted-partition fold instead of this group function
     rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
       val t = e.ts.getTime
       cur match {
@@ -48,30 +52,81 @@ object Sessionize {
       }
     }
     cur.foreach { s =>
-      if (finalizeAtEnd) {
-        // BATCH: timeouts never fire and this group is never re-invoked —
-        // the open trailing session must be emitted now or it is silently
-        // lost (setTimeoutTimestamp is a silent no-op in batch execution)
-        out += Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.events)
-        state.remove()
-      } else {
-        state.update(s)
-        // streaming: close via event-time timeout once the watermark passes
-        state.setTimeoutTimestamp(s.last + gapMs)
-      }
+      state.update(s)
+      // close via event-time timeout once the watermark passes
+      state.setTimeoutTimestamp(s.last + gapMs)
     }
     out.result().iterator
   }
 
-  /** Streaming (or batch) sessionization; input must carry a watermark on
-    * `ts` when streaming. Batch inputs finalize trailing sessions at group
-    * end, so batch output covers every event (matches the SQL-window twin). */
-  def sessions(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+  /** Batch sessionization as a sorted-partition fold: repartition by user,
+    * sort within partitions on (user, ts) — ONE shuffle + external sort, both
+    * spill-safe — then a constant-memory iterator fold that closes a session
+    * on user change or gap. A degenerate hot user (10⁸ events) streams
+    * through the fold at O(1) heap, where a group-buffering formulation
+    * (`rows.toSeq.sortBy` per group) would hold the whole user on one task's
+    * heap. */
+  def sessionsBatch(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
+      .repartition(org.apache.spark.sql.functions.col("userId"))
+      .sortWithinPartitions("userId", "ts")
+      .mapPartitions { it =>
+        new Iterator[Session] {
+          private var cur: Option[(Long, SessionState)] = None
+          private var pendingEmit: Option[Session] = None
+          private def close(u: Long, s: SessionState): Session =
+            Session(u, new Timestamp(s.start), new Timestamp(s.last), s.events)
+          private def advance(): Unit = {
+            while (pendingEmit.isEmpty && it.hasNext) {
+              val e = it.next()
+              val t = e.ts.getTime
+              cur match {
+                case Some((u, s)) if u != e.userId =>
+                  pendingEmit = Some(close(u, s))
+                  cur = Some((e.userId, SessionState(t, t, 1)))
+                case Some((u, s)) if t - s.last > gapMs =>
+                  pendingEmit = Some(close(u, s))
+                  cur = Some((u, SessionState(t, t, 1)))
+                case Some((u, s)) =>
+                  cur = Some((u, SessionState(s.start, math.max(s.last, t), s.events + 1)))
+                case None =>
+                  cur = Some((e.userId, SessionState(t, t, 1)))
+              }
+            }
+            if (pendingEmit.isEmpty && !it.hasNext) {
+              // input exhausted: flush the trailing open session
+              pendingEmit = cur.map { case (u, s) => close(u, s) }
+              cur = None
+            }
+          }
+          def hasNext: Boolean = {
+            if (pendingEmit.isEmpty) advance()
+            pendingEmit.nonEmpty
+          }
+          def next(): Session = {
+            if (!hasNext) throw new NoSuchElementException
+            val s = pendingEmit.get
+            pendingEmit = None
+            s
+          }
+        }
+      }
+  }
+
+  /** Streaming (or batch) sessionization; input must carry a watermark on
+    * `ts` when streaming. Batch inputs take the sorted-fold path
+    * ([[sessionsBatch]]) — same sessions, bounded task memory — because
+    * state timeouts never fire in batch execution (setTimeoutTimestamp is a
+    * silent no-op there) and the group function would buffer whole users. */
+  def sessions(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    if (!events.isStreaming) sessionsBatch(events, gapMs)
+    else events
       .groupByKey(_.userId)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
-        updateUser(gapMs, finalizeAtEnd = !events.isStreaming))
+        updateUser(gapMs))
   }
 }

@@ -43,20 +43,43 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("batch: same function sessionizes a static dataset, incl. trailing sessions") {
+  test("batch: sorted-fold path sessionizes a static dataset, incl. trailing sessions") {
     import spark.implicits._
     val events = Seq(
       Event(7, ts(0), "a"), Event(7, ts(10), "b"), Event(7, ts(100), "c"),
       Event(8, ts(50), "a")
     ).toDS()
-    val got = Sessionize.sessions(events, gapMs = 30000L).collect()
-      .map(s => (s.userId, s.start.getTime, s.events)).toSet
+    val ds = Sessionize.sessions(events, gapMs = 30000L)
+    // batch dispatches to the sorted-partition fold, NOT the stateful group
+    // function (whose timeouts never fire in batch and which buffers whole
+    // users on one heap)
+    assert(!ds.queryExecution.executedPlan.toString.contains("FlatMapGroupsWithState"))
+    val got = ds.collect().map(s => (s.userId, s.start.getTime, s.events)).toSet
     assert(got.contains((7L, ts(0).getTime, 2L)))
     // batch has no timeouts — the trailing (still-open) sessions must be
-    // emitted at group end, not silently dropped
+    // emitted at input end, not silently dropped
     assert(got.contains((7L, ts(100).getTime, 1L)))
     assert(got.contains((8L, ts(50).getTime, 1L)))
     assert(got.size === 3)
+  }
+
+  test("batch: one degenerate hot user streams through the fold (bounded task memory)") {
+    import spark.implicits._
+    // 400k events for ONE user — the group-buffering formulation holds all
+    // of them on a single task's heap; the fold emits sessions incrementally
+    // as the sorted iterator advances. Every 10th event opens a new session.
+    val n = 400000
+    val events = spark.range(n.toLong).select(
+      lit(77L).as("userId"),
+      // i -> 1s steps inside a 10-event run, 111s gap between runs (> gapMs)
+      // → exactly n/10 sessions; cast-from-long interprets SECONDS
+      (lit(86400L) + floor(col("id") / 10) * 120 + (col("id") % 10))
+        .cast("timestamp").as("ts"),
+      lit("e").as("eventType")
+    ).as[Event]
+    val sessions = Sessionize.sessions(events, gapMs = 30000L).collect()
+    assert(sessions.length === n / 10)
+    assert(sessions.forall(s => s.userId == 77L && s.events == 10L))
   }
 
   test("late out-of-order event extends the session START, not just the end") {
