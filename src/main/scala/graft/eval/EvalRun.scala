@@ -34,22 +34,31 @@ object EvalRun {
       .as[(String, String, String, Int, String, Seq[Span])]
       .mapPartitions { rows =>
         val (gaz, kernel) = ExtractorModel.get(cfg.kernel)
-        rows.map { case (_, context, question, qType, subjTok, spans) =>
-          val row = Encoder.encode(context, question, cfg.maxSeq)
-          val name = Ontology.id2relation(qType)
-          // subject vs relation sample is decided by subject_token: subject
-          // samples carry "" (QaGen.subjectSamples). The tag id CANNOT
-          // discriminate — e.g. Pleura is both a subject type and a relation
-          // with the SAME id, and its relation samples must take the
-          // objectSpans branch exactly as Extract.turn2 does.
-          val bias =
-            (if (subjTok.isEmpty) gaz.subjectSpans(context, name)
-             else gaz.objectSpans(context, subjTok, name))
-              .filter(_.end <= row.lenContext)
-          val pred = kernel.tag(row, bias, qType)
-          val goldSpans = spans.filter(_.end <= row.lenContext)
-          val goldBio = Spans.bioLabels(row.lenContext + 1, qType, goldSpans).drop(1)
-          (qType, Metrics.EvalSample(qType, goldBio, pred))
+        // grouped(32): the reference's DataLoader(batch_size=32) forward
+        // shape (run_qa.py:167-171) — one packed matmul batch per chunk,
+        // bit-identical to row-at-a-time (Kernel.tagBatch contract)
+        rows.grouped(graft.pipeline.Extract.kernelBatchSize).flatMap { chunk =>
+          val reqs = chunk.map { case (_, context, question, qType, subjTok, _) =>
+            val row = Encoder.encode(context, question, cfg.maxSeq)
+            val name = Ontology.id2relation(qType)
+            // subject vs relation sample is decided by subject_token: subject
+            // samples carry "" (QaGen.subjectSamples). The tag id CANNOT
+            // discriminate — e.g. Pleura is both a subject type and a relation
+            // with the SAME id, and its relation samples must take the
+            // objectSpans branch exactly as Extract's turn 2 does.
+            val bias =
+              (if (subjTok.isEmpty) gaz.subjectSpans(context, name)
+               else gaz.objectSpans(context, subjTok, name))
+                .filter(_.end <= row.lenContext)
+            (row, bias, qType)
+          }.toArray
+          val preds = kernel.tagBatch(reqs)
+          chunk.zipWithIndex.map { case ((_, _, _, qType, _, spans), i) =>
+            val lenContext = reqs(i)._1.lenContext
+            val goldSpans = spans.filter(_.end <= lenContext)
+            val goldBio = Spans.bioLabels(lenContext + 1, qType, goldSpans).drop(1)
+            (qType, Metrics.EvalSample(qType, goldBio, preds(i)))
+          }
         }
       }
   }

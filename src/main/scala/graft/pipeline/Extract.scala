@@ -60,15 +60,24 @@ object Extract {
         !col("text").contains("甲状腺"))
   }
 
-  /** Turn 1 for one document: 4 subject questions → encode → kernel →
-    * Viterbi tags → span decode → deduped mention tokens per type
-    * (run_qa.py:440-471). */
+  /** Kernel forward batch size — the reference's DataLoader(batch_size=32)
+    * (run_qa.py:167-171); batched results are bit-identical to row-at-a-time
+    * ([[graft.model.Kernel.tagBatch]]), so this is purely a matmul-shape knob. */
+  val kernelBatchSize = 32
+
+  /** Turn 1 for one document: the 4 subject questions → encode → ONE batched
+    * kernel forward → Viterbi tags → span decode → deduped mention tokens
+    * per type (run_qa.py:440-471). */
   def turn1(text: String, gaz: Gazetteer, kernel: Kernel, cfg: ExtractorConfig): List[(String, List[String])] = {
-    Ontology.subject2question.toList.map { case (st, question) =>
+    val subjQs = Ontology.subject2question.toList
+    val reqs = subjQs.map { case (st, question) =>
       val row = Encoder.encode(text, question, cfg.maxSeq)
       val bias = gaz.subjectSpans(text, st).filter(_.end <= row.lenContext)
-      val tags = kernel.tag(row, bias, Ontology.questionDic(st))
-      val spans = Spans.indicesFromLabel(tags, Ontology.questionDic(st))
+      (row, bias, Ontology.questionDic(st))
+    }.toArray
+    val tags = kernel.tagBatch(reqs)
+    subjQs.zipWithIndex.map { case ((st, _), i) =>
+      val spans = Spans.indicesFromLabel(tags(i), Ontology.questionDic(st))
       val mentions = mutable.LinkedHashSet.empty[String]
       spans.foreach { sp =>
         val tok = text.substring(sp.start, math.min(sp.end, text.length))
@@ -78,25 +87,13 @@ object Extract {
     }
   }
 
-  /** Turn 2 for one (mention, type): every allowed relation re-asked with
-    * `mention + relation2question[rel]` (get_tail_entities,
-    * run_qa.py:384-410). */
-  def turn2(text: String, st: String, mention: String, gaz: Gazetteer, kernel: Kernel,
-      cfg: ExtractorConfig): List[(String, String)] = {
-    Ontology.questionTurn(st).flatMap { rel =>
-      val question = mention + Ontology.relation2question(rel)
-      val row = Encoder.encode(text, question, cfg.maxSeq)
-      val bias = gaz.objectSpans(text, mention, rel).filter(_.end <= row.lenContext)
-      val tags = kernel.tag(row, bias, Ontology.questionDic(rel))
-      Spans.indicesFromLabel(tags, Ontology.questionDic(rel)).flatMap { sp =>
-        val obj = text.substring(sp.start, math.min(sp.end, text.length))
-        if (obj.nonEmpty) Some(rel -> obj) else None
-      }
-    }
-  }
-
   /** Full per-document extraction (the body of the predict loop,
-    * run_qa.py:436-496). */
+    * run_qa.py:436-496). Turn 2 asks every allowed relation per turn-1
+    * mention (`mention + relation2question[rel]`, get_tail_entities,
+    * run_qa.py:384-410) with the question rows batched through the kernel in
+    * [[kernelBatchSize]] chunks; request order matches the reference's
+    * nested type → mention → relation loop, so the insertion-ordered J4
+    * dedup sees triples in the same order as the row-at-a-time form. */
   def extractDoc(url: String, text: String, gaz: Gazetteer, kernel: Kernel,
       cfg: ExtractorConfig): List[Triple] = {
     // O6 (run_qa.py:488-496) — the subject-only-triple else-branch — is
@@ -105,10 +102,22 @@ object Extract {
     // own ontology has turn-2 relations (data/data_utils.py:108-126), so the
     // branch is dead under the reference's shipped configuration.
     val out = mutable.LinkedHashSet.empty[Triple] // J4 dedup
-    turn1(text, gaz, kernel, cfg).foreach { case (st, mentions) =>
-      mentions.foreach { m =>
-        turn2(text, st, m, gaz, kernel, cfg).foreach { case (rel, obj) =>
-          out += Triple(url, st, m, rel, rel, obj)
+    val t2Meta = for {
+      (st, mentions) <- turn1(text, gaz, kernel, cfg)
+      m <- mentions
+      rel <- Ontology.questionTurn(st)
+    } yield (st, m, rel)
+    t2Meta.grouped(kernelBatchSize).foreach { chunk =>
+      val reqs = chunk.map { case (_, m, rel) =>
+        val row = Encoder.encode(text, m + Ontology.relation2question(rel), cfg.maxSeq)
+        val bias = gaz.objectSpans(text, m, rel).filter(_.end <= row.lenContext)
+        (row, bias, Ontology.questionDic(rel))
+      }.toArray
+      val tags = kernel.tagBatch(reqs)
+      chunk.zipWithIndex.foreach { case ((st, m, rel), i) =>
+        Spans.indicesFromLabel(tags(i), Ontology.questionDic(rel)).foreach { sp =>
+          val obj = text.substring(sp.start, math.min(sp.end, text.length))
+          if (obj.nonEmpty) out += Triple(url, st, m, rel, rel, obj)
         }
       }
     }

@@ -15,18 +15,22 @@ object KernelProbe {
     val text = "胸部CT检查所见：孤立性结节，左肺上叶，类圆形，约12×8mm，实性密度。余未见异常。"
     val question = Ontology.subject2question("Mass")
 
-    def run(threads: Int, rowsPerThread: Int): Double = {
+    // batch=1 → row-at-a-time; batch=32 → the reference's DataLoader shape
+    def run(threads: Int, rowsPerThread: Int, batch: Int): Double = {
       val done = new AtomicLong()
       val t0 = System.nanoTime()
       val ts = (0 until threads).map { _ =>
         new Thread(() => {
           var i = 0
           while (i < rowsPerThread) {
-            val row = Encoder.encode(text, question, 168)
-            val bias = gaz.subjectSpans(text, "Mass")
-            val tags = kernel.tag(row, bias, 2)
-            done.addAndGet(tags.length)
-            i += 1
+            val m = math.min(batch, rowsPerThread - i)
+            val reqs = Array.fill(m) {
+              val row = Encoder.encode(text, question, 168)
+              val bias = gaz.subjectSpans(text, "Mass")
+              (row, bias, 2)
+            }
+            kernel.tagBatch(reqs).foreach(t => done.addAndGet(t.length))
+            i += m
           }
         })
       }
@@ -36,12 +40,23 @@ object KernelProbe {
       threads * rowsPerThread / sec
     }
 
-    run(4, 500) // warmup
-    val r2 = run(2, 4000)
-    val r8 = run(8, 4000)
-    val r4 = run(4, 4000)
-    val r16 = run(16, 4000)
-    val r32 = run(32, 4000)
+    // parity guard: batched decode must be bit-identical to row-at-a-time
+    val rowP = Encoder.encode(text, question, 168)
+    val biasP = gaz.subjectSpans(text, "Mass")
+    val one = kernel.tag(rowP, biasP, 2).toSeq
+    assert(kernel.tagBatch(Array.fill(32)((rowP, biasP, 2))).forall(_.toSeq == one),
+      "batched tags diverge from row-at-a-time")
+
+    run(4, 512, 1); run(4, 512, 32) // warmup both shapes
+    val b1 = run(8, 4096, 1)
+    val b32 = run(8, 4096, 32)
+    println(f"batch effect @8t: rows/sec batch1=$b1%.0f batch32=$b32%.0f win=${b32 / b1}%.2fx")
+    def runB(t: Int, r: Int) = run(t, r, 32)
+    val r2 = runB(2, 4096)
+    val r8 = runB(8, 4096)
+    val r4 = runB(4, 4096)
+    val r16 = runB(16, 4096)
+    val r32 = runB(32, 4096)
     println(f"rows/sec @2=$r2%.0f @4=$r4%.0f @8=$r8%.0f @16=$r16%.0f @32=$r32%.0f")
     println(f"eff 2->8=${(r8 / r2) / 4.0}%.3f 4->16=${(r16 / r4) / 4.0}%.3f 8->32=${(r32 / r8) / 4.0}%.3f")
   }
