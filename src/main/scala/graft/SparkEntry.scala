@@ -335,6 +335,22 @@ object SparkEntry {
       val gold = Corpus.gold(s, 200, seed = 42, noisyFrac = 0.0)
       graft.eval.Metrics.perSampleEval(graft.eval.EvalRun.evalSamples(pages, gold))
     }),
+    "kg_macro_scores" -> ((s, dir) => {
+      import s.implicits._
+      import graft.eval.{EvalRun, Metrics}
+      // A3 end-to-end: macro P/R/F1 averaged over ALL 17 ontology types —
+      // zero-sample types contribute 0, as the reference iterates the full
+      // performance_dic key set (utils/evaluate_funcs.py:311-317) — plus
+      // acc = matched spans / samples (rows-only: kernel op)
+      val pages = Corpus.pages(s, 200, seed = 42, noisyFrac = 0.0).toDF()
+      val gold = Corpus.gold(s, 200, seed = 42, noisyFrac = 0.0)
+      val samples = EvalRun.evalSamples(pages, gold).cache()
+      val n = samples.count()
+      val m = Metrics.macroScores(Metrics.computePerformance(samples), n)(s)
+      samples.unpersist()
+      Seq((m("precision"), m("recall"), m("f1"), Metrics.round4(m("acc"))))
+        .toDF("macro_precision", "macro_recall", "macro_f1", "acc")
+    }),
     "kg_eval_pr" -> ((s, dir) => {
       import s.implicits._
       import graft.eval.Metrics

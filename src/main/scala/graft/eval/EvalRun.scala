@@ -1,11 +1,11 @@
 package graft.eval
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 import graft.encode.Encoder
 import graft.functions.Spans
 import graft.pipeline.{ExtractorConfig, ExtractorModel, QaGen}
-import graft.schema.{GoldTriple, Ontology, Span}
+import graft.schema.{EncodedSample, GoldTriple, Ontology, Span}
 
 /** End-to-end span-level evaluation — the reference's predict-on-dev loop
   * (run_qa.py --do_predict → utils/evaluate_funcs.py compute_performance):
@@ -68,4 +68,45 @@ object EvalRun {
   def perTypeMetrics(pages: DataFrame, gold: Dataset[GoldTriple],
       cfg: ExtractorConfig = ExtractorConfig()): DataFrame =
     Metrics.computePerformance(evalSamples(pages, gold, cfg))
+
+  /** Eval over a PERSISTED encoded_samples stage
+    * ([[graft.pipeline.Pipeline.runEncode]]) — the production S4 path:
+    * features are read back, never re-encoded; only the kernel forward runs
+    * here. Metrics are identical to [[evalSamples]] by construction — the
+    * stored BIO labels slice to the same gold tags the direct path builds
+    * (both filter spans at lenContext), and the gazetteer bias re-derives
+    * from the stored line-aligned context/subjectToken. */
+  def evalSamplesFromStage(spark: SparkSession, path: String,
+      cfg: ExtractorConfig = ExtractorConfig()): Dataset[(Int, Metrics.EvalSample)] = {
+    import spark.implicits._
+    graft.io.TableIO.readStage(spark, path)
+      .select("url", "questionType", "inputIds", "inputMask", "segmentIds",
+        "labels", "lenQuestion", "lenContext", "context", "subjectToken")
+      .as[EncodedSample]
+      .mapPartitions { rows =>
+        val (gaz, kernel) = ExtractorModel.get(cfg.kernel)
+        rows.grouped(graft.pipeline.Extract.kernelBatchSize).flatMap { chunk =>
+          val reqs = chunk.map { e =>
+            val row = graft.encode.EncodedRow(e.inputIds, e.inputMask,
+              e.segmentIds, e.lenQuestion, e.lenContext)
+            val name = Ontology.id2relation(e.questionType)
+            val bias =
+              (if (e.subjectToken.isEmpty) gaz.subjectSpans(e.context, name)
+               else gaz.objectSpans(e.context, e.subjectToken, name))
+                .filter(_.end <= e.lenContext)
+            (row, bias, e.questionType)
+          }.toArray
+          val preds = kernel.tagBatch(reqs)
+          chunk.zipWithIndex.map { case (e, i) =>
+            val goldBio = e.labels.slice(1, 1 + e.lenContext)
+            (e.questionType, Metrics.EvalSample(e.questionType, goldBio, preds(i)))
+          }
+        }
+      }
+  }
+
+  /** Per-type metrics over a persisted encoded stage. */
+  def perTypeMetricsFromStage(spark: SparkSession, path: String,
+      cfg: ExtractorConfig = ExtractorConfig()): DataFrame =
+    Metrics.computePerformance(evalSamplesFromStage(spark, path, cfg))
 }

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.TableIO
@@ -27,6 +27,7 @@ object Pipeline {
 
   def triplesDir(cfg: Config): String = s"${cfg.workDir}/triples"
   def canonicalDir(cfg: Config): String = s"${cfg.workDir}/canonical_triples"
+  def encodedDir(cfg: Config): String = s"${cfg.workDir}/encoded_samples"
 
   /** In-flight per-stage named metrics (S9): rows observed at each plan
     * point during the single evaluation of the stage — the thing an operator
@@ -68,6 +69,33 @@ object Pipeline {
     StageRun(n, Map(
       "extract_rows_prepared" -> observedCount(obsPrep),
       "extract_triples_out" -> observedCount(obsOut)))
+  }
+
+  /** Runs (or resumes) the QA-encode stage — the production S4 analogue of
+    * the reference's .npy feature store (data/data_utils.py:561-566): QA
+    * samples are generated, encoded ONCE, and persisted as a resumable
+    * bucket-grain parquet stage that eval reads back
+    * ([[graft.eval.EvalRun.evalSamplesFromStage]]) instead of recomputing
+    * feature prep per query.
+    *
+    * Bucket-grain resume is sound here because every encoded row of a url
+    * derives from that url's pages+gold rows alone (the O3 oversampling
+    * counters are per-doc), so skipping committed url-buckets skips exactly
+    * their rows and nothing else. */
+  def runEncode(pages: DataFrame, gold: Dataset[graft.schema.GoldTriple], cfg: Config): StageRun = {
+    val spark = pages.sparkSession
+    val committed = TableIO.committedBuckets(spark, encodedDir(cfg), "encode",
+      cfg.nBuckets, cfg.inputSnapshot)
+    if (committed.size == cfg.nBuckets) return StageRun(0, Map.empty)
+    val obs = Observation()
+    val pending = TableIO.pendingInput(pages, "url", encodedDir(cfg), "encode",
+      cfg.nBuckets, cfg.inputSnapshot)
+    val qa = QaGen.qaSamples(pending, gold, maxSeq = cfg.extractor.maxSeq)
+    val enc = QaGen.encode(qa, cfg.extractor.maxSeq).toDF()
+      .observe(obs, count(lit(1)).as("rows"))
+    val n = TableIO.writeStage(enc, encodedDir(cfg), "encode", "url",
+      cfg.nBuckets, cfg.inputSnapshot)
+    StageRun(n, Map("encode_samples_out" -> observedCount(obs)))
   }
 
   /** Runs (or skips) the canonicalize stage over the full triples table.

@@ -131,17 +131,19 @@ object QaGen {
   }
 
   /** encoded_samples: the columnar twin of the reference's six .npy
-    * matrices, built in one mapPartitions (T8 encode + T9 BIO labels). */
+    * matrices, built in one mapPartitions (T8 encode + T9 BIO labels);
+    * carries the line-aligned context/subject_token so a persisted stage is
+    * self-sufficient for eval (see [[graft.eval.EvalRun.evalSamplesFromStage]]). */
   def encode(qa: DataFrame, maxSeq: Int = 168): Dataset[EncodedSample] = {
     val spark = qa.sparkSession
     import spark.implicits._
-    qa.select("url", "context", "question", "question_type", "labels")
-      .as[(String, String, String, Int, Seq[Span])]
-      .mapPartitions(_.map { case (url, context, question, qType, spans) =>
+    qa.select("url", "context", "question", "question_type", "subject_token", "labels")
+      .as[(String, String, String, Int, String, Seq[Span])]
+      .mapPartitions(_.map { case (url, context, question, qType, subjTok, spans) =>
         val row = Encoder.encode(context, question, maxSeq)
         val bio = Spans.bioLabels(maxSeq, qType, spans.filter(_.end <= row.lenContext))
         EncodedSample(url, qType, row.inputIds, row.inputMask, row.segmentIds,
-          bio, row.lenQuestion, row.lenContext)
+          bio, row.lenQuestion, row.lenContext, context, subjTok)
       })
   }
 }

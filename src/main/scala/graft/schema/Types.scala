@@ -73,7 +73,11 @@ final case class QaSample(
 )
 
 /** Fixed-width encoded sample — the columnar twin of the reference's six
-  * parallel .npy matrices (data/data_utils.py:561-566). */
+  * parallel .npy matrices (data/data_utils.py:561-566). `context` and
+  * `subjectToken` are the line-aligned prepared-doc fields the reference
+  * keeps NEXT to its feature store (S5, utils/run_qa.py predict I/O): eval
+  * over a persisted stage needs them to re-derive the gazetteer bias
+  * without re-encoding. */
 final case class EncodedSample(
     url: String,
     questionType: Int,
@@ -82,7 +86,9 @@ final case class EncodedSample(
     segmentIds: Array[Int],
     labels: Array[Int],
     lenQuestion: Int,
-    lenContext: Int
+    lenContext: Int,
+    context: String,
+    subjectToken: String
 )
 
 /** Per-partition lineage/checkpoint record written by every stage
