@@ -94,6 +94,27 @@ object Hashing {
     if (f.isEmpty) 0L else simhash(f)
   }
 
+  /** The `maxHamming+1` near-equal-width band keys of a 64-bit simhash —
+    * the same pigeonhole banding [[graft.ops.Dedup.simhashPairs]] builds as
+    * Column expressions (first `64 % bands` bands get the extra bit): any
+    * pair within Hamming distance `bands-1` shares at least one whole band.
+    * Returned keys are band-local values (band index is the array index). */
+  def simhashBandKeys(sim: Long, bands: Int): Array[Long] = {
+    require(bands >= 1 && bands <= 64)
+    val base = 64 / bands
+    val rem = 64 % bands
+    val out = new Array[Long](bands)
+    var b = 0
+    var offset = 0
+    while (b < bands) {
+      val width = if (b < rem) base + 1 else base
+      out(b) = if (width == 64) sim else (sim >>> offset) & ((1L << width) - 1)
+      offset += width
+      b += 1
+    }
+    out
+  }
+
   def jaccard(a: Set[String], b: Set[String]): Double = {
     if (a.isEmpty && b.isEmpty) 1.0
     else {

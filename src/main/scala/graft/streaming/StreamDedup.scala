@@ -1,9 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
+import java.sql.Timestamp
 
-import graft.ops.TextStats
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.ops.{Hashing, TextStats}
 
 /** Streaming exact deduplication — the Structured Streaming twin of
   * [[graft.ops.Dedup.exact]] for a continuously-fed corpus (SURVEY.md §2.9
@@ -37,9 +40,9 @@ object StreamDedup {
     * signature is meaningful on CJK and punctuation-only text), so small
     * edits that leave the signature unchanged (whitespace/punctuation drift,
     * the templated-page case) collapse to one survivor in-stream. This is
-    * the Hamming-distance-0 slice of near-dup — pairs at distance ≥ 1 need
-    * candidate verification and belong to the batch
-    * [[graft.ops.Dedup.simhashPairs]] pass downstream; state cost is
+    * the Hamming-distance-0 slice of near-dup — distance ≥ 1 is
+    * [[nearDupVerdicts]]' banded-state job (and the batch
+    * [[graft.ops.Dedup.simhashPairs]] pass across horizons); state cost is
     * identical to [[exactDedup]] (one long key per doc within the horizon).
     *
     * Degenerate docs (null/empty text) have NO content signature: keying
@@ -74,4 +77,115 @@ object StreamDedup {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("sim", "degenerate")
   }
+
+  /** One per-(doc, band) verdict from [[nearDupVerdicts]]: `hamming` = the
+    * verified distance between this doc's simhash and the band's current
+    * keeper, or -1 when this doc CLAIMED the band (no keeper in the
+    * horizon). Degenerate (blank) docs emit a single band = -1 row keyed by
+    * their exact fingerprint (hamming 0 ⇔ identical blank content). */
+  final case class BandVerdict(docId: Long, ts: Timestamp, band: Int, hamming: Int)
+
+  // private[streaming], not private: Catalyst-generated encoder code must
+  // access the constructor/accessors (object-private is private in bytecode)
+  private[streaming] final case class BandRow(docId: Long, ts: Timestamp,
+      sim: Long, band: Int, key: Long)
+  private[streaming] final case class Keeper(sim: Long, lastTs: Long)
+
+  private def updateBand(horizonMs: Long)(key: (Int, Long), rows: Iterator[BandRow],
+      state: GroupState[Keeper]): Iterator[BandVerdict] = {
+    if (rows.isEmpty && state.hasTimedOut) {
+      // watermark passed lastSeen + horizon: no in-horizon duplicate can
+      // still arrive for this band value — state is dropped, bounding total
+      // state at O(bands × docs-per-horizon)
+      state.remove()
+      return Iterator.empty
+    }
+    val out = List.newBuilder[BandVerdict]
+    var st = state.getOption
+    // deterministic claim order within a micro-batch: earliest (ts, docId)
+    rows.toSeq.sortBy(r => (r.ts.getTime, r.docId)).foreach { r =>
+      st match {
+        case None =>
+          st = Some(Keeper(r.sim, r.ts.getTime))
+          out += BandVerdict(r.docId, r.ts, r.band, -1)
+        case Some(k) =>
+          // verified distance — a band collision between genuinely distant
+          // docs scores its true (large) hamming and never suppresses, so
+          // the 2^-width collision rate costs candidate work, not precision
+          out += BandVerdict(r.docId, r.ts, r.band,
+            java.lang.Long.bitCount(r.sim ^ k.sim))
+          st = Some(k.copy(lastTs = math.max(k.lastTs, r.ts.getTime)))
+      }
+    }
+    st.foreach { k =>
+      state.update(k)
+      state.setTimeoutTimestamp(k.lastTs + horizonMs)
+    }
+    out.result().iterator
+  }
+
+  /** In-stream near-dup suppression at Hamming radius ≥ 1 — the streaming
+    * twin of [[graft.ops.Dedup.simhashPairs]]' pigeonhole blocking. Each doc
+    * explodes to `maxHamming + 1` band keys ([[Hashing.simhashBandKeys]]);
+    * per-band keyed state holds the first-writer's FULL 64-bit signature, so
+    * every later doc sharing the band gets a VERIFIED Hamming distance (an
+    * unverified shared-band key would false-suppress at the 2^-width
+    * collision rate — fatal at stream scale). Any pair within the radius
+    * shares at least one whole band (Manku WWW'07), so in-horizon recall at
+    * the radius is guaranteed against current band keepers.
+    *
+    * All band rows of a doc land in the SAME micro-batch, so the per-doc
+    * verdict is a plain per-batch vote — [[keptDocs]] inside `foreachBatch`
+    * — not a second stateful operator (chaining flatMapGroupsWithState into
+    * further stateful ops is unsupported). State cost: one (sim, ts) pair
+    * per live band value, watermark-evicted after `horizon`.
+    *
+    * Greedy-online semantics (documented divergence from the batch pass):
+    * a suppressed doc's bands still claim unclaimed band values, so chains
+    * A ≈ B ≈ C suppress transitively like the batch CC clustering, but a
+    * doc arriving more than `horizon` after its nearest neighbor is kept —
+    * the batch [[graft.ops.Dedup.simhashPairs]] pass downstream owns
+    * cross-horizon dedup. */
+  def nearDupVerdicts(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", tsCol: String = "warc_ts",
+      horizonMs: Long = 24L * 3600 * 1000, maxHamming: Int = 3): Dataset[BandVerdict] = {
+    require(maxHamming >= 1 && maxHamming < 64, "radius-0 is simhashDedup's job")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bands = maxHamming + 1
+    docs
+      .select(col(idCol).cast("long").as("docId"), col(tsCol).cast("timestamp").as("ts"),
+        col(textCol).as("text"))
+      .as[(Long, Timestamp, String)]
+      .flatMap { case (docId, ts, text) =>
+        val features = Hashing.simhashFeatures(text)
+        if (features.isEmpty) {
+          // blank doc: exact-fingerprint key in the reserved band -1 — the
+          // same keyed state machine degrades to exact dedup for them
+          val fp = Hashing.hash64(
+            if (text == null) "" else text.toLowerCase.replaceAll("\\s+", " ").trim)
+          Iterator.single(BandRow(docId, ts, fp, -1, fp))
+        } else {
+          val sim = Hashing.simhash(features)
+          Hashing.simhashBandKeys(sim, bands).iterator.zipWithIndex.map {
+            case (key, b) => BandRow(docId, ts, sim, b, key)
+          }
+        }
+      }
+      // watermark AFTER the typed flatMap: the event-time column must be
+      // tagged on the frame the stateful operator actually consumes
+      .withWatermark("ts", s"$horizonMs milliseconds")
+      .groupByKey(r => (r.band, r.key))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        updateBand(horizonMs))
+  }
+
+  /** Per-micro-batch vote over [[nearDupVerdicts]] rows (all of a doc's band
+    * verdicts are co-batched): a doc is KEPT unless some band verified a
+    * keeper within `maxHamming`. Call inside `foreachBatch`. */
+  def keptDocs(verdicts: DataFrame, maxHamming: Int = 3): DataFrame =
+    verdicts.groupBy("docId")
+      .agg(min(when(col("hamming") >= 0, col("hamming"))).as("min_hamming"))
+      .filter(col("min_hamming").isNull || col("min_hamming") > maxHamming)
+      .select("docId")
 }

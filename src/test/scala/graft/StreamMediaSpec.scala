@@ -137,6 +137,70 @@ class StreamSimhashDedupSpec extends SparkSpec {
   }
 }
 
+class StreamNearDupSpec extends SparkSpec {
+
+  test("banded state suppresses a hamming>=1 near-dup in-stream, across restarts") {
+    import java.nio.file.Files
+    import spark.implicits._
+    import graft.ops.Hashing
+    import graft.streaming.StreamDedup
+
+    val root = Files.createTempDirectory("graft-neardup").toString
+    val inDir = s"$root/in"
+    val keptDir = s"$root/kept"
+    val ckpt = s"$root/ckpt"
+    val maxHamming = 3
+
+    val base = ("the quick brown fox jumps over the lazy dog while spark " +
+      "catalyst plans tungsten codegen shuffles partitions broadcasts ") * 3 +
+      "unique closing sentence with several distinct tokens here"
+    // pick an edit whose simhash lands at 1 <= hamming <= maxHamming — a
+    // SMALL but non-zero signature perturbation (one-char tail swaps change
+    // ≤ 3 trigrams; the probe makes it a precondition, not luck)
+    val simBase = Hashing.simhashText(base)
+    val nearDup = ('a' to 'z').map(c => base.dropRight(1) + c)
+      .find { t =>
+        val h = java.lang.Long.bitCount(simBase ^ Hashing.simhashText(t))
+        h >= 1 && h <= maxHamming
+      }
+    assert(nearDup.isDefined, "no candidate edit landed within the radius")
+    val far = "completely unrelated content about monoids functors and lenses " * 4
+
+    def docs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .withColumn("warc_ts", (lit(1767225600L) + col("doc_id")).cast("timestamp"))
+    val schema = docs(Seq((0L, ""))).schema
+
+    def runOnce(): Unit = {
+      val q = StreamDedup.nearDupVerdicts(
+          spark.readStream.schema(schema).parquet(inDir), maxHamming = maxHamming)
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[StreamDedup.BandVerdict], _: Long) =>
+            // all band rows of a doc are co-batched: the per-doc vote is a
+            // plain per-batch aggregation
+            StreamDedup.keptDocs(batch.toDF(), maxHamming)
+              .write.mode("append").parquet(keptDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    docs(Seq((1L, base), (2L, far))).write.parquet(inDir)
+    runOnce()
+    val kept1 = spark.read.parquet(keptDir).as[Long].collect().toSet
+    assert(kept1 === Set(1L, 2L))
+
+    // restart with new files: the 1-bit-flipped near-dup is suppressed by
+    // the CHECKPOINTED band state; a genuinely new doc passes
+    docs(Seq((3L, nearDup.get), (4L, "fresh novel text about entirely new things " * 4)))
+      .write.mode("append").parquet(inDir)
+    runOnce()
+    val kept2 = spark.read.parquet(keptDir).as[Long].collect().toSet
+    assert(kept2 === Set(1L, 2L, 4L), s"got $kept2")
+  }
+}
+
 class MediaSpec extends SparkSpec {
 
   test("header parse round-trips the synthetic container") {
