@@ -19,10 +19,16 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** One tag per JVM: per-process scratch dirs (stage-table queries) are
-    * fresh on a new process and resume within it. */
-  private lazy val processTag: String =
-    java.util.UUID.randomUUID().toString.take(8)
+  /** One scratch root per JVM for stage-table queries: fresh on a new
+    * process (no stale-stage adoption across binaries), resumable within it,
+    * and DELETED on JVM exit so repeated bench/driver runs don't accumulate
+    * stage directories in tmp. */
+  private lazy val processScratchRoot: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stage_").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(dir): Unit))
+    dir.getAbsolutePath
+  }
 
   /** Flagship: the two-turn KG extraction pipeline over the deterministic
     * synthetic page corpus (FIXTURES.md) — driver smoke-checks rows > 0. */
@@ -344,12 +350,13 @@ object SparkEntry {
       import graft.pipeline.Pipeline
       // the production S4 path end-to-end, driver-checked: persist the
       // encoded_samples stage (bucket-grain, resumable), then eval FROM the
-      // persisted features. The workDir is per-process (fresh JVM → fresh
-      // stage; battery repeats within a process hit the no-op resume, so the
-      // min-of-N number measures stage-read eval, not the one-time encode)
-      val work = s"${System.getProperty("java.io.tmpdir")}/graft_encstage_" +
-        s"${dir.hashCode.toLong & 0x7FFFFFFFL}_$processTag"
-      val cfg = Pipeline.Config(workDir = work, nBuckets = 8, inputSnapshot = "pages-v1")
+      // persisted features. The workDir is per-process and shutdown-cleaned
+      // (fresh JVM → fresh stage; battery repeats within a process hit the
+      // no-op resume, so the min-of-N number measures stage-read eval, not
+      // the one-time encode)
+      val work = s"$processScratchRoot/encstage_${dir.hashCode.toLong & 0x7FFFFFFFL}"
+      val cfg = Pipeline.Config(workDir = work, nBuckets = 8,
+        inputSnapshot = "pages-v1", completeInput = true)
       val pages = Corpus.pages(s, 200, seed = 42, noisyFrac = 0.0).toDF()
       val gold = Corpus.gold(s, 200, seed = 42, noisyFrac = 0.0)
       Pipeline.runEncode(pages, gold, cfg)

@@ -168,7 +168,8 @@ object Metrics {
     * reference's `{sign}_res.json`/xlsx sink, utils/evaluate_funcs.py:297-309)
     * with TableIO lineage; idempotent per (path, snapshot). */
   def writePerformance(perType: DataFrame, path: String, snapshot: String = ""): Int =
-    graft.io.TableIO.writeStage(perType, path, "metrics", "question_type", 1, snapshot)
+    graft.io.TableIO.writeStage(perType, path, "metrics", "question_type", 1, snapshot,
+      completeInput = true)
 
   /** Macro scores over ALL 17 types (zero rows included, as the reference
     * iterates the full performance_dic key set) + acc = matched spans /

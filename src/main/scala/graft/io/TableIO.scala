@@ -112,10 +112,19 @@ object TableIO {
     * attests the bytes a reader will actually see, not a recomputation that
     * upstream nondeterminism could diverge from.
     *
+    * @param completeInput the caller attests `df` covers the WHOLE snapshot
+    *        (the [[pendingInput]]-driven pipeline contract): buckets whose
+    *        pending input produced ZERO rows are then committed with (0, 0)
+    *        lineage. Without this, a stage with any genuinely-empty bucket
+    *        (fewer keys than buckets, or a filter dropping a whole bucket)
+    *        can never reach the fully-committed fast path and every resume
+    *        re-evaluates the whole input plan. Leave false when feeding
+    *        partial input batches deliberately.
     * @return number of buckets newly committed
     */
   def writeStage(df: DataFrame, path: String, stage: String, keyCol: String,
-      nBuckets: Int, inputSnapshot: String = ""): Int = {
+      nBuckets: Int, inputSnapshot: String = "",
+      completeInput: Boolean = false): Int = {
     val spark = df.sparkSession
     val snapOpt = readSnapshot(spark, path)
     val prior = snapOpt
@@ -198,10 +207,19 @@ object TableIO {
         .collect()
         .map(r => BucketManifest(r.getInt(0), r.getLong(1), r.getLong(2)))
 
-    val merged = (prior.map(_.buckets).getOrElse(Seq.empty) ++ manifests)
+    // completeInput: every not-yet-committed bucket was fully processed by
+    // the write above; those that produced no directory are genuinely empty
+    // and commit as (0, 0) lineage so resume reaches the no-op fast path
+    val dirBuckets = manifests.map(_.bucket).toSet
+    val emptyManifests =
+      if (!completeInput) Array.empty[BucketManifest]
+      else (0 until nBuckets)
+        .filterNot(done.contains).filterNot(dirBuckets.contains)
+        .map(b => BucketManifest(b, 0L, 0L)).toArray
+    val merged = (prior.map(_.buckets).getOrElse(Seq.empty) ++ manifests ++ emptyManifests)
       .groupBy(_.bucket).map(_._2.last).toSeq
     writeSnapshot(spark, path, Snapshot(stage, inputSnapshot, nBuckets, merged))
-    manifests.length
+    manifests.length + emptyManifests.length
   }
 
   /** Buckets already committed for (path, stage, nBuckets, snapshot). */
@@ -259,18 +277,25 @@ object TableIO {
       .saveAsTable(table)
 
   /** Verify written data against the manifest lineage (count + checksum per
-    * bucket). Returns mismatching buckets (empty = healthy). */
+    * bucket). Returns mismatching buckets (empty = healthy). A bucket
+    * committed empty (0, 0) has no directory on disk — absent data IS its
+    * expected state. */
   def auditStage(spark: SparkSession, path: String, keyCol: String): Seq[Int] = {
     readSnapshot(spark, path) match {
       case None => Seq.empty
       case Some(snap) =>
-        val actual = readStage(spark, path)
-          .groupBy("bucket")
-          .agg(count(lit(1)).as("c"), coalesce(bit_xor(xxhash64(col(keyCol))), lit(0L)).as("h"))
-          .collect()
-          .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+        val base = new Path(path)
+        val hasData = fs(spark, base).exists(base) &&
+          fs(spark, base).listStatus(base).exists(_.getPath.getName.startsWith("bucket="))
+        val actual =
+          if (!hasData) Map.empty[Int, (Long, Long)] // all-empty stage: no files to scan
+          else readStage(spark, path)
+            .groupBy("bucket")
+            .agg(count(lit(1)).as("c"), coalesce(bit_xor(xxhash64(col(keyCol))), lit(0L)).as("h"))
+            .collect()
+            .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
         snap.buckets.collect {
-          case b if actual.get(b.bucket) != Some((b.rowCount, b.checksum)) => b.bucket
+          case b if actual.getOrElse(b.bucket, (0L, 0L)) != ((b.rowCount, b.checksum)) => b.bucket
         }
     }
   }

@@ -53,6 +53,23 @@ object Linker {
   def candidateEdges(surf: Dataset[SurfaceKey], k: Int = 8, bands: Int = 4,
       shingleN: Int = 2, threshold: Double = 0.6, bucketCap: Int = 1000,
       neighborWindow: Int = 8): DataFrame = {
+    // standalone contract: checkpoint materializes the edges so the cache
+    // can be released before returning the (otherwise lazy) frame
+    val (edges, sized) = candidateEdgesLazy(surf, k, bands, shingleN, threshold,
+      bucketCap, neighborWindow)
+    val out = edges.localCheckpoint()
+    sized.unpersist()
+    out
+  }
+
+  /** [[candidateEdges]] without the final materialization: the caller owns
+    * releasing `sized` AFTER an action has consumed `edges` — the shape
+    * [[resolution]] uses so ConnectedComponents' own checkpoint is the ONLY
+    * materialization of the edge set (a second caller-side checkpoint would
+    * store it twice). */
+  private def candidateEdgesLazy(surf: Dataset[SurfaceKey], k: Int = 8,
+      bands: Int = 4, shingleN: Int = 2, threshold: Double = 0.6,
+      bucketCap: Int = 1000, neighborWindow: Int = 8): (DataFrame, DataFrame) = {
     val spark = surf.sparkSession
     import spark.implicits._
     require(bands >= 1 && k % bands == 0,
@@ -93,9 +110,6 @@ object Linker {
         .select(col("src"), col("dst"),
           col("sort_a").as("norm_a"), col("sort_b").as("norm_b"))
 
-    // eager checkpoint: ConnectedComponents materializes the edge set right
-    // away anyway (size probe + iterations), and checkpointing here lets the
-    // sized cache be released deterministically
     val edges = smallPairs.unionByName(bigPairs)
       .distinct()
       .as[(Long, Long, String, String)]
@@ -104,17 +118,18 @@ object Linker {
           Hashing.charShingles(na, shingleN), Hashing.charShingles(nb, shingleN))
         if (j >= threshold) Some((src, dst)) else None
       }.toDF("src", "dst")
-      .localCheckpoint()
-    sized.unpersist()
-    edges
+    (edges, sized)
   }
 
   /** surface → (canonical id, canonical surface). Canonical surface is the
     * representative with min (length, lexicographic) in the component. */
   def resolution(surf: Dataset[SurfaceKey]): DataFrame = {
     val spark = surf.sparkSession
-    val edges = candidateEdges(surf)
+    // lazy edges: ConnectedComponents canonicalizes + checkpoints them as
+    // its first step — the single materialization of the verify plan
+    val (edges, sized) = candidateEdgesLazy(surf)
     val comp = ConnectedComponents.run(edges)
+    sized.unpersist()
     val withComp = surf.toDF()
       .join(comp, surf("id") === comp("id"), "left")
       .select(col("surface"), col("norm"), surf("id").as("id"),

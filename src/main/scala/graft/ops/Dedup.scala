@@ -137,16 +137,16 @@ object Dedup {
           Hashing.charShingles(tb.toLowerCase, shingleN))
         if (j >= threshold) Some((src, dst)) else None
       }.toDF("src", "dst")
-      .localCheckpoint() // eager: one evaluation of the verify plan, then CC
-                         // iterates over the checkpointed edges only
-
+    // no checkpoint here: ConnectedComponents.run canonicalizes + checkpoints
+    // its input as its FIRST step, so the verify plan is evaluated exactly
+    // once inside it — a caller-side checkpoint would store the edges twice.
+    // Unpersist after: CC.run returns only once the edges are materialized.
     val comp = ConnectedComponents.run(verified)
-    val out = df.filter(col(idCol).isNotNull)
+    sized.unpersist(); cand.unpersist(); docs.unpersist()
+    df.filter(col(idCol).isNotNull)
       .select(col(idCol).cast("long").as("doc_id"))
       .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("keeper"))
-    sized.unpersist(); cand.unpersist(); docs.unpersist()
-    out
   }
 
   /** Embedding-cosine near-dup pairs — exact O(n²) baseline for BOUNDED

@@ -72,6 +72,18 @@ object Hashing {
     out
   }
 
+  /** Content normalization shared by [[simhashFeatures]] and
+    * [[normalizedFingerprint]]: lowercase, collapse whitespace runs, trim —
+    * the single definition of "same content modulo formatting" across the
+    * exact and near-dup key spaces (a drift between them would silently
+    * split blank-doc handling between the radius-0 and radius-≥1 paths). */
+  def normalizedText(text: String): String =
+    if (text == null) "" else text.toLowerCase.replaceAll("\\s+", " ").trim
+
+  /** Exact content fingerprint over the normalized text — the Scala-side
+    * twin of [[graft.ops.TextStats.fingerprint]]'s Column form. */
+  def normalizedFingerprint(text: String): Long = hash64(normalizedText(text))
+
   /** SimHash feature set for a document: lowercased, whitespace-run-collapsed
     * char trigrams. Char shingles (not `\W+` word tokens) keep the signature
     * meaningful on punctuation-only and CJK text — an ASCII word tokenizer
@@ -79,11 +91,10 @@ object Hashing {
     * document to signature 0. Whitespace normalization (the same one the
     * exact fingerprint applies) keeps formatting drift signature-invariant.
     * Empty ⇔ the text is null/blank: such docs have no content signature and
-    * callers must exempt them from near-dup keying (fall back to the exact
-    * fingerprint). */
+    * callers must exempt them from near-dup keying (fall back to
+    * [[normalizedFingerprint]]). */
   def simhashFeatures(text: String): Set[String] = {
-    if (text == null) return Set.empty
-    val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+    val norm = normalizedText(text)
     if (norm.isEmpty) Set.empty else charShingles(norm, 3)
   }
 

@@ -19,11 +19,20 @@ import graft.schema.Triple
   */
 object Pipeline {
 
+  /** @param completeInput attests every run's `pages` frame is the WHOLE
+    *        snapshot (the normal production contract): buckets whose pending
+    *        input yields zero rows then commit as (0,0) lineage, so sparse
+    *        stages reach the fully-committed no-op fast path instead of
+    *        re-running the kernel over zero-output buckets on every resume.
+    *        Leave false when feeding the stage incrementally (input arriving
+    *        in batches under one snapshot id) — only the caller can tell a
+    *        sparse corpus from not-yet-arrived input. */
   final case class Config(
       workDir: String,
       nBuckets: Int = 64,
       extractor: ExtractorConfig = ExtractorConfig(),
-      inputSnapshot: String = "pages-v1")
+      inputSnapshot: String = "pages-v1",
+      completeInput: Boolean = false)
 
   def triplesDir(cfg: Config): String = s"${cfg.workDir}/triples"
   def canonicalDir(cfg: Config): String = s"${cfg.workDir}/canonical_triples"
@@ -64,8 +73,12 @@ object Pipeline {
       .observe(obsPrep, count(lit(1)).as("rows"))
     val triples = Extract.triplesFromPrepared(prepared, cfg.extractor).toDF()
       .observe(obsOut, count(lit(1)).as("rows"))
+    // cfg.completeInput: a pending url-bucket yielding ZERO triples (all
+    // pages filtered, or no mentions) is then committed as genuinely done —
+    // without the (0,0) commit it would re-run the kernel over those pages
+    // on EVERY resume, forever
     val n = TableIO.writeStage(triples, triplesDir(cfg), "extract", "url",
-      cfg.nBuckets, cfg.inputSnapshot)
+      cfg.nBuckets, cfg.inputSnapshot, completeInput = cfg.completeInput)
     StageRun(n, Map(
       "extract_rows_prepared" -> observedCount(obsPrep),
       "extract_triples_out" -> observedCount(obsOut)))
@@ -94,7 +107,7 @@ object Pipeline {
     val enc = QaGen.encode(qa, cfg.extractor.maxSeq).toDF()
       .observe(obs, count(lit(1)).as("rows"))
     val n = TableIO.writeStage(enc, encodedDir(cfg), "encode", "url",
-      cfg.nBuckets, cfg.inputSnapshot)
+      cfg.nBuckets, cfg.inputSnapshot, completeInput = cfg.completeInput)
     StageRun(n, Map("encode_samples_out" -> observedCount(obs)))
   }
 
@@ -135,7 +148,8 @@ object Pipeline {
       val canonical = Linker.canonicalTriples(triples).toDF()
         .observe(obsOut, count(lit(1)).as("rows"))
       val n = TableIO.writeStage(canonical, canonicalDir(cfg), "canonicalize",
-        "subject", math.max(cfg.nBuckets / 8, 1), canonSnapshot)
+        "subject", math.max(cfg.nBuckets / 8, 1), canonSnapshot,
+        completeInput = cfg.completeInput)
       StageRun(n, Map(
         "link_triples_in" -> observedCount(obsIn),
         "link_canonical_out" -> observedCount(obsOut)))

@@ -62,13 +62,10 @@ object StreamDedup {
         val t = if (r.isNullAt(idx)) null else r.getString(idx)
         val features = graft.ops.Hashing.simhashFeatures(t)
         val degenerate = features.isEmpty
-        // fallback hashes the NORMALIZED text (lower/collapse/trim — the
-        // exact fingerprint's own normalization), so blank variants collapse
-        // exactly as exactDedup would collapse them, and nothing else does
+        // fallback = the exact normalized fingerprint, so blank variants
+        // collapse exactly as exactDedup would collapse them, nothing else
         val sim =
-          if (degenerate)
-            graft.ops.Hashing.hash64(
-              if (t == null) "" else t.toLowerCase.replaceAll("\\s+", " ").trim)
+          if (degenerate) graft.ops.Hashing.normalizedFingerprint(t)
           else graft.ops.Hashing.simhash(features)
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ sim :+ degenerate)
       }
@@ -162,8 +159,7 @@ object StreamDedup {
         if (features.isEmpty) {
           // blank doc: exact-fingerprint key in the reserved band -1 — the
           // same keyed state machine degrades to exact dedup for them
-          val fp = Hashing.hash64(
-            if (text == null) "" else text.toLowerCase.replaceAll("\\s+", " ").trim)
+          val fp = Hashing.normalizedFingerprint(text)
           Iterator.single(BandRow(docId, ts, fp, -1, fp))
         } else {
           val sim = Hashing.simhash(features)

@@ -34,6 +34,25 @@ class TableIOSpec extends SparkSpec {
     assert(TableIO.auditStage(spark, dir, "url") === Seq.empty)
   }
 
+  test("completeInput commits genuinely-empty buckets → fully-committed fast path") {
+    import spark.implicits._
+    val dir = tmpDir() + "/t-empty"
+    // 5 urls over 64 buckets: most buckets are EMPTY. Without the (0,0)
+    // commits the stage could never reach the no-op fast path and every
+    // resume would re-evaluate the whole input plan.
+    val acc = spark.sparkContext.longAccumulator("evals")
+    val df = (0 until 5).map(i => (s"url-$i", i.toLong)).toDF("url", "v")
+      .as[(String, Long)].map { r => acc.add(1); r }.toDF("url", "v")
+    val n = TableIO.writeStage(df, dir, "s1", "url", 64, completeInput = true)
+    assert(n === 64)
+    assert(TableIO.readSnapshot(spark, dir).get.committed === (0 until 64).toSet)
+    assert(TableIO.auditStage(spark, dir, "url") === Seq.empty)
+    assert(TableIO.readStage(spark, dir).count() === 5)
+    val evals = acc.value
+    assert(TableIO.writeStage(df, dir, "s1", "url", 64, completeInput = true) === 0)
+    assert(acc.value === evals, "fully-committed re-run must not evaluate the input")
+  }
+
   test("pendingInput skips committed buckets; resume completes the table") {
     import spark.implicits._
     val dir = tmpDir() + "/t2"
