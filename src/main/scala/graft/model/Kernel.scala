@@ -29,7 +29,17 @@ final case class KernelConfig(
     maxSeq: Int = 168,
     seed: Long = 20260816L,
     oBias: Float = 8f,
-    spanBias: Float = 16f
+    spanBias: Float = 16f,
+    /** M3 — the reference's `--use_rnn` BiLSTM re-encoder flag (store_true,
+      * OFF by default, run_qa.py:69). When on, encoder states pass through
+      * `rnnLayers` bidirectional LSTM layers + LayerNorm before the
+      * classifier (models/bert_mrc.py:127-146). */
+    useRnn: Boolean = false,
+    rnnHidden: Int = 16,
+    rnnLayers: Int = 2,
+    /** M9 — the reference's `--start_end` softmax-threshold decode
+      * (OFF by default, run_qa.py:73; models/bert_mrc.py:114-120,207-209). */
+    startEndThreshold: Float = 0.3f
 )
 
 object Kernel {
@@ -111,6 +121,39 @@ final class Kernel(val cfg: KernelConfig, vocabSize: Int) extends Serializable {
   private val wc = mat(hidden, numLabels)
   private val bc = new Array[Float](numLabels)
 
+  // M3 — optional BiLSTM re-encoder (--use_rnn, models/bert_mrc.py:127-146):
+  // 2 bidirectional layers over the encoder states, LayerNorm, then a
+  // classifier sized for the 2·rnnHidden output. Weights come from an
+  // INDEPENDENT seeded stream so flipping the flag leaves every default-path
+  // weight bit-identical. Gate order (i, f, g, o); inference ⇒ the
+  // reference's inter-layer dropout 0.5 is identity.
+  private final case class LstmDir(w: Array[Float], u: Array[Float], b: Array[Float])
+  private final case class LstmLayer(inDim: Int, fwd: LstmDir, bwd: LstmDir)
+  @transient private lazy val rnnLayersW: Array[LstmLayer] = {
+    val r = new Random(seed ^ 0x9E3779B97F4A7C15L)
+    def m(rows: Int, cols: Int) = Array.fill(rows * cols)((r.nextGaussian() * 0.02).toFloat)
+    Array.tabulate(rnnLayers) { l =>
+      val in = if (l == 0) hidden else 2 * rnnHidden
+      def dir() = LstmDir(m(in, 4 * rnnHidden), m(rnnHidden, 4 * rnnHidden),
+        new Array[Float](4 * rnnHidden))
+      LstmLayer(in, dir(), dir())
+    }
+  }
+  @transient private lazy val wcRnn: Array[Float] = {
+    val r = new Random(seed ^ 0x6A09E667F3BCC909L)
+    Array.fill(2 * rnnHidden * numLabels)((r.nextGaussian() * 0.02).toFloat)
+  }
+  private val bcRnn = new Array[Float](numLabels)
+
+  // M9 — start/end pointer heads (--start_end): one scalar score per token
+  // position for each head, softmaxed over positions (models/bert_mrc.py:
+  // 114-120). Independent seeded stream, same reasoning as the RNN weights.
+  @transient private lazy val (wStart, wEnd) = {
+    val r = new Random(seed ^ 0xBB67AE8584CAA73BL)
+    (Array.fill(hidden)((r.nextGaussian() * 0.02).toFloat),
+      Array.fill(hidden)((r.nextGaussian() * 0.02).toFloat))
+  }
+
   // M10 positional encoding table
   private val posEnc: Array[Float] = {
     val pe = new Array[Float](maxSeq * hidden)
@@ -178,21 +221,77 @@ final class Kernel(val cfg: KernelConfig, vocabSize: Int) extends Serializable {
     ThreadLocal.withInitial(() => new Scratch)
 
   // M2 LayerNorm (gamma=1, beta=0), eps 1e-12
-  private def layerNorm(x: Array[Float], seqLen: Int): Unit = {
+  private def layerNorm(x: Array[Float], seqLen: Int): Unit =
+    layerNormDim(x, seqLen, hidden)
+
+  private def layerNormDim(x: Array[Float], seqLen: Int, dim: Int): Unit = {
     var t = 0
     while (t < seqLen) {
-      val off = t * hidden
+      val off = t * dim
       var mu = 0f; var i = 0
-      while (i < hidden) { mu += x(off + i); i += 1 }
-      mu /= hidden
+      while (i < dim) { mu += x(off + i); i += 1 }
+      mu /= dim
       var va = 0f; i = 0
-      while (i < hidden) { val d = x(off + i) - mu; va += d * d; i += 1 }
-      va /= hidden
+      while (i < dim) { val d = x(off + i) - mu; va += d * d; i += 1 }
+      va /= dim
       val inv = (1.0 / math.sqrt(va + 1e-12)).toFloat
       i = 0
-      while (i < hidden) { x(off + i) = (x(off + i) - mu) * inv; i += 1 }
+      while (i < dim) { x(off + i) = (x(off + i) - mu) * inv; i += 1 }
       t += 1
     }
+  }
+
+  @inline private def sigmoid(x: Float): Float =
+    (1.0 / (1.0 + math.exp(-x))).toFloat
+
+  /** One BiLSTM layer over `len` tokens of `x` (row-major, `inDim` features):
+    * forward and backward passes concatenated per token → len × 2·rnnHidden.
+    * Non-default path (M3 flag): per-call allocation is fine. */
+  private def biLstm(layer: LstmLayer, x: Array[Float], len: Int): Array[Float] = {
+    val h4 = 4 * rnnHidden
+    val out = new Array[Float](len * 2 * rnnHidden)
+    def run(dir: LstmDir, reverse: Boolean): Unit = {
+      val h = new Array[Float](rnnHidden)
+      val c = new Array[Float](rnnHidden)
+      val gates = new Array[Float](h4)
+      var step = 0
+      while (step < len) {
+        val t = if (reverse) len - 1 - step else step
+        System.arraycopy(dir.b, 0, gates, 0, h4)
+        var i = 0
+        while (i < layer.inDim) {
+          val xi = x(t * layer.inDim + i)
+          val wRow = i * h4
+          var j = 0
+          while (j < h4) { gates(j) += xi * dir.w(wRow + j); j += 1 }
+          i += 1
+        }
+        i = 0
+        while (i < rnnHidden) {
+          val hi = h(i)
+          val uRow = i * h4
+          var j = 0
+          while (j < h4) { gates(j) += hi * dir.u(uRow + j); j += 1 }
+          i += 1
+        }
+        var k = 0
+        while (k < rnnHidden) {
+          val ig = sigmoid(gates(k))
+          val fg = sigmoid(gates(rnnHidden + k))
+          val gg = math.tanh(gates(2 * rnnHidden + k).toDouble).toFloat
+          val og = sigmoid(gates(3 * rnnHidden + k))
+          c(k) = fg * c(k) + ig * gg
+          h(k) = og * math.tanh(c(k).toDouble).toFloat
+          k += 1
+        }
+        val base = t * 2 * rnnHidden + (if (reverse) rnnHidden else 0)
+        System.arraycopy(h, 0, out, base, rnnHidden)
+        step += 1
+      }
+    }
+    run(layer.fwd, reverse = false)
+    run(layer.bwd, reverse = true)
+    out
   }
 
   // M11 gelu (tanh approximation of the reference's erf form,
@@ -374,9 +473,28 @@ final class Kernel(val cfg: KernelConfig, vocabSize: Int) extends Serializable {
     sc.ensure(total)
     val h = forwardBatch(rows, fullLens, offsets, total, sc)
     // M5 classifier + bounded encoder contribution + bias emissions — one
-    // packed matmul over the whole batch
+    // packed matmul over the whole batch. Under --use_rnn (M3) the states
+    // first pass through the BiLSTM stack + LayerNorm per row and the
+    // classifier is sized for the 2·rnnHidden output. (Divergence note: the
+    // reference packs lengths as clamp(max_seq)-1 — silently dropping the
+    // LAST token from the packed sequence, bert_mrc.py:127-129 — we run the
+    // full row, which is the evident intent.)
     val logits = sc.logits
-    matmul(h, wc, total, hidden, numLabels, bc, logits)
+    if (useRnn) {
+      var r = 0
+      while (r < n) {
+        val off = offsets(r)
+        val fl = fullLens(r)
+        var x = new Array[Float](fl * hidden)
+        System.arraycopy(h, off * hidden, x, 0, fl * hidden)
+        rnnLayersW.foreach { layer => x = biLstm(layer, x, fl) }
+        layerNormDim(x, fl, 2 * rnnHidden)
+        val rowLogits = new Array[Float](fl * numLabels)
+        matmul(x, wcRnn, fl, 2 * rnnHidden, numLabels, bcRnn, rowLogits)
+        System.arraycopy(rowLogits, 0, logits, off * numLabels, fl * numLabels)
+        r += 1
+      }
+    } else matmul(h, wc, total, hidden, numLabels, bc, logits)
     val ln = total * numLabels
     var x = 0
     while (x < ln) { logits(x) = Kernel.Lut.tanh(logits(x)) * 0.5f; x += 1 }
@@ -398,6 +516,69 @@ final class Kernel(val cfg: KernelConfig, vocabSize: Int) extends Serializable {
       i += 1
     }
     out
+  }
+
+  /** M9 — the `--start_end` softmax-threshold decode path
+    * (models/bert_mrc.py:114-120,207-209): two pointer heads score every
+    * token, each head softmaxes over positions, and positions with
+    * probability > threshold become start/end flags; predicted spans pair
+    * the i-th start with the i-th end ONLY when the flag counts match, else
+    * no spans — exactly the eval branch's pairing rule
+    * (utils/evaluate_funcs.py:149-176).
+    *
+    * Faithful quirks (documented, reproduced where they are semantics, fixed
+    * where they are crashes): (a) the softmax-threshold rule means a row
+    * with ≥ ⌈1/threshold⌉ equally-evidenced answers decodes to NOTHING —
+    * the mass splits below the threshold (inherent to the design; pinned in
+    * KernelSpec); (b) the reference's start_end metric branch crashes as
+    * shipped (undefined `f1_lst`, wrong counter key `'tp'` vs `'tp_precise'`,
+    * shadowed loop index — evaluate_funcs.py:149-205), so only the MODEL
+    * semantics are ported, like M10's unimported-`math` fix.
+    *
+    * @return spans in context char coordinates (end-exclusive). */
+  def startEndSpans(row: EncodedRow, biasSpans: List[Span],
+      threshold: Float = startEndThreshold): List[Span] = {
+    val sc = scratch.get()
+    val seqLen = 1 + row.lenContext + 1
+    val fullLen = math.min(maxSeq, seqLen + row.lenQuestion + 1)
+    sc.ensure(fullLen)
+    val h = forwardBatch(Array(row), Array(fullLen), Array(0), fullLen, sc)
+    def headProbs(w: Array[Float], biasAt: Span => Int): Array[Float] = {
+      val s = new Array[Float](fullLen)
+      var t = 0
+      while (t < fullLen) {
+        var acc = 0f; var i = 0
+        while (i < hidden) { acc += h(t * hidden + i) * w(i); i += 1 }
+        s(t) = Kernel.Lut.tanh(acc) * 0.5f
+        t += 1
+      }
+      biasSpans.foreach { sp =>
+        val p = biasAt(sp)
+        if (p >= 0 && p < fullLen) s(p) += cfg.spanBias
+      }
+      // softmax over positions (F.softmax(dim=-1) on the per-token scores)
+      var mx = Float.NegativeInfinity
+      t = 0
+      while (t < fullLen) { if (s(t) > mx) mx = s(t); t += 1 }
+      var z = 0f
+      t = 0
+      while (t < fullLen) { s(t) = math.exp((s(t) - mx).toDouble).toFloat; z += s(t); t += 1 }
+      t = 0
+      while (t < fullLen) { s(t) /= z; t += 1 }
+      s
+    }
+    // start flag at the span's first char token; end flag at its LAST char
+    // token (reference spans are inclusive [s, e] sliced text[s:e+1])
+    val pStart = headProbs(wStart, sp => 1 + sp.start)
+    val pEnd = headProbs(wEnd, sp => sp.end) // 1 + (sp.end - 1)
+    def flags(p: Array[Float]): List[Int] =
+      (1 until 1 + row.lenContext).iterator
+        .filter(t => t < fullLen && p(t) > threshold).map(_ - 1).toList
+    val starts = flags(pStart)
+    val ends = flags(pEnd)
+    if (starts.nonEmpty && starts.size == ends.size)
+      starts.zip(ends).collect { case (s, e) if e >= s => Span(s, e + 1) }
+    else Nil
   }
 
   /** M6 — Viterbi DP over tag positions [from, until) of the row based at
