@@ -31,14 +31,21 @@ object PipelineRun {
     // to the extract lineage signature, so a later fuller extract
     // invalidates and rebuilds it (Pipeline.runCanonicalize)
     val canonRun = Pipeline.runCanonicalize(spark, cfg)
+    // S4 feature-store stage: QA samples encoded once, persisted, resumable
+    val gold = Corpus.gold(spark, nDocs, seed = 42, noisyFrac = 0.02)
+    val encodeRun = Pipeline.runEncode(pages, gold, cfg)
     val triples = TableIO.readStage(spark, Pipeline.triplesDir(cfg)).count()
     val audit = TableIO.auditStage(spark, Pipeline.triplesDir(cfg), "url")
     val canon = TableIO.readStage(spark, Pipeline.canonicalDir(cfg)).count()
-    val stageMetrics = (extractRun.metrics ++ canonRun.metrics)
+    val encoded = TableIO.readStage(spark, Pipeline.encodedDir(cfg)).count()
+    val encAudit = TableIO.auditStage(spark, Pipeline.encodedDir(cfg), "url")
+    val stageMetrics = (extractRun.metrics ++ canonRun.metrics ++ encodeRun.metrics)
       .toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" ")
     println(s"[pipeline] pendingInputRows=$pendingBefore newBuckets=${extractRun.newBuckets} " +
       s"triplesTotal=$triples canonicalNewBuckets=${canonRun.newBuckets} canonicalRows=$canon " +
-      s"$stageMetrics auditBadBuckets=${audit.mkString(",")} ok=${audit.isEmpty}")
+      s"encodeNewBuckets=${encodeRun.newBuckets} encodedRows=$encoded " +
+      s"$stageMetrics auditBadBuckets=${(audit ++ encAudit).mkString(",")} " +
+      s"ok=${audit.isEmpty && encAudit.isEmpty}")
     spark.stop()
   }
 }

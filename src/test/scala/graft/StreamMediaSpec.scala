@@ -199,6 +199,54 @@ class StreamNearDupSpec extends SparkSpec {
     val kept2 = spark.read.parquet(keptDir).as[Long].collect().toSet
     assert(kept2 === Set(1L, 2L, 4L), s"got $kept2")
   }
+
+  test("band state is EVICTED once the watermark passes the horizon " +
+      "(documented cross-horizon trade: the late copy is kept)") {
+    import java.nio.file.Files
+    import spark.implicits._
+    import graft.streaming.StreamDedup
+
+    val root = Files.createTempDirectory("graft-neardup-evict").toString
+    val inDir = s"$root/in"
+    val keptDir = s"$root/kept"
+    val ckpt = s"$root/ckpt"
+    val horizonMs = 60000L // 1 minute
+    val base = "state eviction corpus text with enough distinct trigrams to sign " * 4
+
+    def docs(rows: Seq[(Long, Long)], text: Long => String) =
+      rows.toDF("doc_id", "sec").select(col("doc_id"),
+        udf(text).apply(col("doc_id")).as("text"),
+        (lit(1767225600L) + col("sec")).cast("timestamp").as("warc_ts"))
+    val schema = docs(Seq((0L, 0L)), _ => "x").schema
+    def runOnce(): Unit = {
+      val q = StreamDedup.nearDupVerdicts(
+          spark.readStream.schema(schema).parquet(inDir),
+          horizonMs = horizonMs, maxHamming = 3)
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[StreamDedup.BandVerdict], _: Long) =>
+            StreamDedup.keptDocs(batch.toDF(), 3).write.mode("append").parquet(keptDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    docs(Seq((1L, 0L)), _ => base).write.parquet(inDir)
+    runOnce()
+    // a far-future unrelated doc advances the watermark well past
+    // lastSeen(1) + horizon: doc 1's band state times out on this restart
+    docs(Seq((2L, 500000L)), _ => "totally different watermark advancing content " * 4)
+      .write.mode("append").parquet(inDir)
+    runOnce()
+    // an EXACT copy of doc 1 arriving after the horizon is admitted again —
+    // the documented state-bounding trade (batch simhashPairs owns
+    // cross-horizon dedup); within-horizon it would have been suppressed
+    docs(Seq((3L, 500001L)), _ => base).write.mode("append").parquet(inDir)
+    runOnce()
+    val kept = spark.read.parquet(keptDir).as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L), s"got $kept")
+  }
 }
 
 class MediaSpec extends SparkSpec {
