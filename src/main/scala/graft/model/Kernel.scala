@@ -33,7 +33,10 @@ final case class KernelConfig(
     /** M3 — the reference's `--use_rnn` BiLSTM re-encoder flag (store_true,
       * OFF by default, run_qa.py:69). When on, encoder states pass through
       * `rnnLayers` bidirectional LSTM layers + LayerNorm before the
-      * classifier (models/bert_mrc.py:127-146). */
+      * classifier (models/bert_mrc.py:127-146). rnnHidden defaults to 16 —
+      * the reference's 128 scaled to this distilled kernel's hidden width
+      * (128/768 ≈ 16/32·⅓; the flag reproduces the compute SHAPE, the
+      * gazetteer bias stays the decision signal either way). */
     useRnn: Boolean = false,
     rnnHidden: Int = 16,
     rnnLayers: Int = 2,
@@ -101,6 +104,9 @@ object Kernel {
 
 final class Kernel(val cfg: KernelConfig, vocabSize: Int) extends Serializable {
   import cfg._
+  require(!cfg.useRnn || (rnnLayers >= 1 && rnnHidden >= 1),
+    s"useRnn needs rnnLayers/rnnHidden >= 1 (got $rnnLayers/$rnnHidden): with " +
+      "zero layers the hidden-width states would be read at 2*rnnHidden width")
   private val numLabels = Ontology.numLabels
   private val rng = new Random(seed)
 
@@ -439,6 +445,13 @@ final class Kernel(val cfg: KernelConfig, vocabSize: Int) extends Serializable {
   def tag(row: EncodedRow, biasSpans: List[Span], tagB: Int): Array[Int] =
     tagBatch(Array((row, biasSpans, tagB)))(0)
 
+  /** Packed row length: [CLS] ctx [SEP] q [SEP], clamped to maxSeq —
+    * question tokens don't need decoding but do participate in attention.
+    * The ONE definition of the row layout length (tagBatch and
+    * startEndSpans both index by it). */
+  @inline private def rowFullLen(row: EncodedRow): Int =
+    math.min(maxSeq, (1 + row.lenContext + 1) + row.lenQuestion + 1)
+
   /** Batched forward + Viterbi: the per-partition unit of work — callers
     * feed `grouped(batchSize)` chunks (O4/M1, the reference's
     * DataLoader(batch_size=32) physical shape). Results are bit-identical
@@ -462,10 +475,7 @@ final class Kernel(val cfg: KernelConfig, vocabSize: Int) extends Serializable {
     while (i < n) {
       val row = reqs(i)._1
       rows(i) = row
-      // [CLS] ctx [SEP] q [SEP]; question tokens don't need decoding but do
-      // participate in attention
-      val seqLen = 1 + row.lenContext + 1
-      fullLens(i) = math.min(maxSeq, seqLen + row.lenQuestion + 1)
+      fullLens(i) = rowFullLen(row)
       offsets(i) = total
       total += fullLens(i)
       i += 1
@@ -530,17 +540,21 @@ final class Kernel(val cfg: KernelConfig, vocabSize: Int) extends Serializable {
     * where they are crashes): (a) the softmax-threshold rule means a row
     * with ≥ ⌈1/threshold⌉ equally-evidenced answers decodes to NOTHING —
     * the mass splits below the threshold (inherent to the design; pinned in
-    * KernelSpec); (b) the reference's start_end metric branch crashes as
-    * shipped (undefined `f1_lst`, wrong counter key `'tp'` vs `'tp_precise'`,
-    * shadowed loop index — evaluate_funcs.py:149-205), so only the MODEL
-    * semantics are ported, like M10's unimported-`math` fix.
+    * KernelFlagsSpec); (b) CROSSED flags (an end before its paired start)
+    * still pair — the reference slices `text[s:e+1]` into a degenerate
+    * empty prediction that never matches gold but does count — so a crossed
+    * pair returns a degenerate Span with end ≤ start here too; (c) the
+    * reference's start_end metric branch crashes as shipped (undefined
+    * `f1_lst`, wrong counter key `'tp'` vs `'tp_precise'`, shadowed loop
+    * index — evaluate_funcs.py:149-205), so only the MODEL semantics are
+    * ported, like M10's unimported-`math` fix.
     *
-    * @return spans in context char coordinates (end-exclusive). */
+    * @return spans in context char coordinates (end-exclusive; a crossed
+    *         pair yields end ≤ start — see quirk (b)). */
   def startEndSpans(row: EncodedRow, biasSpans: List[Span],
       threshold: Float = startEndThreshold): List[Span] = {
     val sc = scratch.get()
-    val seqLen = 1 + row.lenContext + 1
-    val fullLen = math.min(maxSeq, seqLen + row.lenQuestion + 1)
+    val fullLen = rowFullLen(row)
     sc.ensure(fullLen)
     val h = forwardBatch(Array(row), Array(fullLen), Array(0), fullLen, sc)
     def headProbs(w: Array[Float], biasAt: Span => Int): Array[Float] = {
@@ -577,7 +591,7 @@ final class Kernel(val cfg: KernelConfig, vocabSize: Int) extends Serializable {
     val starts = flags(pStart)
     val ends = flags(pEnd)
     if (starts.nonEmpty && starts.size == ends.size)
-      starts.zip(ends).collect { case (s, e) if e >= s => Span(s, e + 1) }
+      starts.zip(ends).map { case (s, e) => Span(s, e + 1) } // quirk (b): crossed pairs stay
     else Nil
   }
 

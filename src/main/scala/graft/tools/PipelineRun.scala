@@ -21,7 +21,9 @@ object PipelineRun {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, "graft-pipeline")
 
     val cfg = Pipeline.Config(workDir, nBuckets = 16)
-    val all = Corpus.pages(spark, nDocs, seed = 42, noisyFrac = 0.02).toDF()
+    // cached: pendingInput.count, extract, and encode each act on this frame
+    // — without the cache the synthetic generation pass re-runs per action
+    val all = Corpus.pages(spark, nDocs, seed = 42, noisyFrac = 0.02).toDF().cache()
     val pages = bucketLimit.fold(all)(l => all.filter(TableIO.bucketCol("url", 16) < l))
 
     val pendingBefore = TableIO.pendingInput(pages, "url", Pipeline.triplesDir(cfg),
@@ -44,7 +46,8 @@ object PipelineRun {
     println(s"[pipeline] pendingInputRows=$pendingBefore newBuckets=${extractRun.newBuckets} " +
       s"triplesTotal=$triples canonicalNewBuckets=${canonRun.newBuckets} canonicalRows=$canon " +
       s"encodeNewBuckets=${encodeRun.newBuckets} encodedRows=$encoded " +
-      s"$stageMetrics auditBadBuckets=${(audit ++ encAudit).mkString(",")} " +
+      s"$stageMetrics auditBadTripleBuckets=${audit.mkString(",")} " +
+      s"auditBadEncodeBuckets=${encAudit.mkString(",")} " +
       s"ok=${audit.isEmpty && encAudit.isEmpty}")
     spark.stop()
   }
