@@ -130,43 +130,99 @@ object Similarity {
     sig
   }
 
+  /** Distributed Lloyd trainer over the FULL corpus — the 10^9-vector
+    * quantizer path. One narrow pass per iteration: each partition folds its
+    * rows into LOCAL per-cell (sum, count) accumulators (user-space map-side
+    * combine — never a per-row shuffle), and the driver merges the tiny
+    * partitions × cells partials (≤ parts · nCells · dim doubles). Seeds are
+    * the `nCells` smallest-id vectors (a bounded TakeOrdered, stable under
+    * any partitioning). Empty cells keep their previous centroid, matching
+    * the sample-based trainer. */
+  def trainIvfCentroids(vecs: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+      nCells: Int, lloydIters: Int = 5): Array[Array[Double]] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    var centroids = vecs.orderBy(col("_1")).limit(nCells).collect().map(_._2.clone())
+    require(centroids.nonEmpty, "cannot train a quantizer on an empty corpus")
+    val dim = centroids.head.length
+    (0 until lloydIters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(centroids)
+      val partials = vecs.mapPartitions { it =>
+        val cs = bc.value
+        val sums = Array.fill(cs.length)(new Array[Double](dim))
+        val counts = new Array[Long](cs.length)
+        it.foreach { case (id, v) =>
+          if (v.length != dim)
+            throw new IllegalArgumentException(
+              s"mixed embedding dimensions: id=$id has ${v.length}, expected $dim")
+          val c = nearestCentroid(v, cs)
+          counts(c) += 1
+          var i = 0
+          while (i < dim) { sums(c)(i) += v(i); i += 1 }
+        }
+        Iterator.tabulate(cs.length)(c => (c, sums(c), counts(c))).filter(_._3 > 0)
+      }.collect()
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      partials.foreach { case (c, s, n) =>
+        counts(c) += n
+        var i = 0
+        while (i < dim) { sums(c)(i) += s(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else { val out = sums(c); var i = 0; while (i < dim) { out(i) /= counts(c); i += 1 }; out }
+      }.toArray
+      bc.unpersist()
+    }
+    centroids
+  }
+
   /** IVF (inverted-file) approximate top-k — the 10^9-vector scale path:
-    * k-means coarse quantizer (deterministic seeded Lloyd on a driver-side
-    * sample), corpus assigned to nearest centroid (one narrow shuffle-free
-    * map), queries probe the `nProbe` nearest cells, exact cosine re-rank
-    * inside the probed cells only.
+    * k-means coarse quantizer, corpus assigned to nearest centroid (one
+    * narrow shuffle-free map), queries probe the `nProbe` nearest cells,
+    * exact cosine re-rank inside the probed cells only.
+    *
+    * Quantizer training: `distributedTrain = true` runs
+    * [[trainIvfCentroids]] over the FULL corpus (one pass per Lloyd
+    * iteration — the 10^9-vector route where a fixed sample
+    * under-represents the distribution); the default trains a seeded Lloyd
+    * on a bounded `trainSample` driver-side sample (cheapest when the
+    * corpus fits a representative sample). Search path identical either way.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nCells: Int = 16, nProbe: Int = 4, lloydIters: Int = 5,
-      trainSample: Int = 2048): DataFrame = {
+      trainSample: Int = 2048, distributedTrain: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
 
     val vecs = corpus.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .as[(Long, Array[Double])]
-    // deterministic training sample: smallest ids (stable under partitioning)
-    val sample = vecs.orderBy(col(idCol)).limit(trainSample).collect().map(_._2)
-    val dim = sample.head.length
-
-    // seeded Lloyd iterations on the driver (the quantizer is tiny; at real
-    // scale swap for a distributed trainer without touching the search path)
-    var centroids = Array.tabulate(math.min(nCells, sample.length))(i =>
-      sample(((i.toLong * 2654435761L) % sample.length).toInt.abs).clone())
-    (0 until lloydIters).foreach { _ =>
-      val sums = Array.fill(centroids.length)(new Array[Double](dim))
-      val counts = new Array[Long](centroids.length)
-      sample.foreach { v =>
-        val c = nearestCentroid(v, centroids)
-        counts(c) += 1
-        var i = 0
-        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+    val centroids =
+      if (distributedTrain) trainIvfCentroids(vecs, nCells, lloydIters)
+      else {
+        // deterministic training sample: smallest ids (stable under partitioning)
+        val sample = vecs.orderBy(col(idCol)).limit(trainSample).collect().map(_._2)
+        val dim = sample.head.length
+        var cs = Array.tabulate(math.min(nCells, sample.length))(i =>
+          sample(((i.toLong * 2654435761L) % sample.length).toInt.abs).clone())
+        (0 until lloydIters).foreach { _ =>
+          val sums = Array.fill(cs.length)(new Array[Double](dim))
+          val counts = new Array[Long](cs.length)
+          sample.foreach { v =>
+            val c = nearestCentroid(v, cs)
+            counts(c) += 1
+            var i = 0
+            while (i < dim) { sums(c)(i) += v(i); i += 1 }
+          }
+          cs = cs.indices.map { c =>
+            if (counts(c) == 0) cs(c)
+            else { val out = sums(c); var i = 0; while (i < dim) { out(i) /= counts(c); i += 1 }; out }
+          }.toArray
+        }
+        cs
       }
-      centroids = centroids.indices.map { c =>
-        if (counts(c) == 0) centroids(c)
-        else { val out = sums(c); var i = 0; while (i < dim) { out(i) /= counts(c); i += 1 }; out }
-      }.toArray
-    }
     val bcCentroids = spark.sparkContext.broadcast(centroids)
 
     val assigned = vecs.map { case (id, v) =>

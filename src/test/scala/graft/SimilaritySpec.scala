@@ -47,6 +47,43 @@ class SimilaritySpec extends SparkSpec {
     assert(full === exact)
   }
 
+  test("distributed Lloyd trainer: full-corpus centroids recover the clusters; " +
+      "IVF search path unchanged") {
+    import spark.implicits._
+    // 3 well-separated clusters around orthogonal axes + small deterministic
+    // noise; the full-corpus trainer must place one centroid per cluster
+    val rows = (0 until 300).map { i =>
+      val axis = i % 3
+      val v = Array.tabulate(8)(d =>
+        (if (d == axis) 1.0f else 0.0f) + ((i * 31 + d * 7) % 13 - 6) * 0.01f)
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding").repartition(5)
+    val vecs = df.select(col("vec_id").cast("long"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+    val cs = Similarity.trainIvfCentroids(vecs, nCells = 3, lloydIters = 6)
+    assert(cs.length === 3)
+    // each axis cluster is represented: some centroid has its dominant
+    // coordinate on that axis
+    (0 until 3).foreach { axis =>
+      assert(cs.exists(c => c.indexOf(c.max) == axis),
+        s"no centroid represents axis $axis: ${cs.map(_.mkString(",")).mkString(" | ")}")
+    }
+    // deterministic under repartitioning (driver merge is order-independent
+    // up to float addition of per-partition partials on disjoint cells)
+    val cs2 = Similarity.trainIvfCentroids(vecs.repartition(9), 3, 6)
+    assert(cs.map(_.toSeq).toSet === cs2.map(_.toSeq).toSet)
+    // the distributed-trained IVF agrees with brute force on top-1 when
+    // probing the query's own cluster cell
+    val q = df.filter(col("vec_id") < 3)
+    val ivf = topkMap(Similarity.ivfTopK(df, q, "vec_id", "embedding", k = 3,
+      nCells = 3, nProbe = 1, distributedTrain = true))
+    val exact = topkMap(Similarity.bruteForceTopK(df, q, "vec_id", "embedding", k = 3))
+    ivf.foreach { case (qid, cands) =>
+      assert(cands.head === exact(qid).head, s"top-1 mismatch for query $qid")
+    }
+  }
+
   test("LSH top-k candidates carry valid ranks and scores") {
     val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5)
     val rows = lsh.collect()
