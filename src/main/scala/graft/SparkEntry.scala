@@ -203,6 +203,22 @@ object SparkEntry {
             .otherwise(0L))
         .groupBy("user_id").agg(sum("new_sess").as("sessions"))
     }),
+    // the Sessionize OPERATOR itself (sorted-partition fold / stateful-state
+    // twin), oracle-checked against a SQL session segmentation at exact
+    // millisecond precision (both sides truncate micros -> ms)
+    "w3_sessionize_operator" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.Sessionize
+      val ev = t(s, dir, "events").select(
+        col("user_id").cast("long").as("userId"),
+        col("ts").cast("timestamp").as("ts"),
+        col("event_type").as("eventType")).as[Sessionize.Event]
+      Sessionize.sessions(ev, gapMs = 1800000L).toDF()
+        .select(col("userId").as("user_id"),
+          unix_millis(col("start")).as("start_ms"),
+          unix_millis(col("end")).as("end_ms"),
+          col("events"))
+    }),
     // ---------------------------------------------------------------- text analysis
     "text_token_stats" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -512,6 +528,21 @@ object SparkEntry {
          FROM (SELECT user_id, ts,
                lag(date_part('epoch', ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
                FROM events)) GROUP BY user_id""",
+    "w3_sessionize_operator" ->
+      """WITH base AS (
+           SELECT user_id, ts, epoch_ms(ts) AS ms,
+                  lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         x AS (SELECT user_id, ts, ms,
+                 CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END AS new_sess
+               FROM base),
+         s AS (SELECT user_id, ms,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+               FROM x)
+         SELECT user_id, min(ms) AS start_ms, max(ms) AS end_ms,
+                CAST(count(*) AS BIGINT) AS events
+         FROM s GROUP BY user_id, sid""",
     "text_token_stats" ->
       """SELECT doc_id,
          CASE WHEN length(trim(text))=0 THEN 0
