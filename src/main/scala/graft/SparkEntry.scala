@@ -530,14 +530,14 @@ object SparkEntry {
                FROM events)) GROUP BY user_id""",
     "w3_sessionize_operator" ->
       """WITH base AS (
-           SELECT user_id, ts, epoch_ms(ts) AS ms,
+           SELECT user_id, event_id, ts, epoch_ms(ts) AS ms,
                   lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
            FROM events),
-         x AS (SELECT user_id, ts, ms,
+         x AS (SELECT user_id, event_id, ts, ms,
                  CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END AS new_sess
                FROM base),
          s AS (SELECT user_id, ms,
-                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING) AS sid
                FROM x)
          SELECT user_id, min(ms) AS start_ms, max(ms) AS end_ms,

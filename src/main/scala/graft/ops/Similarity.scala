@@ -130,52 +130,70 @@ object Similarity {
     sig
   }
 
+  /** One centroid-update step shared by both trainers: divide accumulated
+    * sums by counts in place; an EMPTY cell keeps its previous centroid. */
+  private def updateCentroids(prev: Array[Array[Double]],
+      sums: Array[Array[Double]], counts: Array[Long]): Array[Array[Double]] =
+    prev.indices.map { c =>
+      if (counts(c) == 0) prev(c)
+      else {
+        val out = sums(c)
+        var i = 0
+        while (i < out.length) { out(i) /= counts(c); i += 1 }
+        out
+      }
+    }.toArray
+
   /** Distributed Lloyd trainer over the FULL corpus — the 10^9-vector
     * quantizer path. One narrow pass per iteration: each partition folds its
     * rows into LOCAL per-cell (sum, count) accumulators (user-space map-side
     * combine — never a per-row shuffle), and the driver merges the tiny
     * partitions × cells partials (≤ parts · nCells · dim doubles). Seeds are
-    * the `nCells` smallest-id vectors (a bounded TakeOrdered, stable under
-    * any partitioning). Empty cells keep their previous centroid, matching
-    * the sample-based trainer. */
+    * the vectors with the `nCells` smallest `xxhash64(id)` values — a
+    * bounded TakeOrdered, stable under any partitioning, and hash-spread so
+    * consecutive near-duplicate ids (one crawl source) cannot all seed the
+    * same cluster and permanently starve the other cells. The input is
+    * persisted for the duration of the iterations (lloydIters + 1 passes
+    * over one cached scan instead of re-reading the lineage each time). */
   def trainIvfCentroids(vecs: org.apache.spark.sql.Dataset[(Long, Array[Double])],
       nCells: Int, lloydIters: Int = 5): Array[Array[Double]] = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    var centroids = vecs.orderBy(col("_1")).limit(nCells).collect().map(_._2.clone())
-    require(centroids.nonEmpty, "cannot train a quantizer on an empty corpus")
-    val dim = centroids.head.length
-    (0 until lloydIters).foreach { _ =>
-      val bc = spark.sparkContext.broadcast(centroids)
-      val partials = vecs.mapPartitions { it =>
-        val cs = bc.value
-        val sums = Array.fill(cs.length)(new Array[Double](dim))
-        val counts = new Array[Long](cs.length)
-        it.foreach { case (id, v) =>
-          if (v.length != dim)
-            throw new IllegalArgumentException(
-              s"mixed embedding dimensions: id=$id has ${v.length}, expected $dim")
-          val c = nearestCentroid(v, cs)
-          counts(c) += 1
+    val cached = vecs.persist()
+    try {
+      var centroids = cached.orderBy(xxhash64(col("_1")), col("_1"))
+        .limit(nCells).collect().map(_._2.clone())
+      require(centroids.nonEmpty, "cannot train a quantizer on an empty corpus")
+      val dim = centroids.head.length
+      (0 until lloydIters).foreach { _ =>
+        val bc = spark.sparkContext.broadcast(centroids)
+        val partials = cached.mapPartitions { it =>
+          val cs = bc.value
+          val sums = Array.fill(cs.length)(new Array[Double](dim))
+          val counts = new Array[Long](cs.length)
+          it.foreach { case (id, v) =>
+            if (v.length != dim)
+              throw new IllegalArgumentException(
+                s"mixed embedding dimensions: id=$id has ${v.length}, expected $dim")
+            val c = nearestCentroid(v, cs)
+            counts(c) += 1
+            var i = 0
+            while (i < dim) { sums(c)(i) += v(i); i += 1 }
+          }
+          Iterator.tabulate(cs.length)(c => (c, sums(c), counts(c))).filter(_._3 > 0)
+        }.collect()
+        val sums = Array.fill(centroids.length)(new Array[Double](dim))
+        val counts = new Array[Long](centroids.length)
+        partials.foreach { case (c, s, n) =>
+          counts(c) += n
           var i = 0
-          while (i < dim) { sums(c)(i) += v(i); i += 1 }
+          while (i < dim) { sums(c)(i) += s(i); i += 1 }
         }
-        Iterator.tabulate(cs.length)(c => (c, sums(c), counts(c))).filter(_._3 > 0)
-      }.collect()
-      val sums = Array.fill(centroids.length)(new Array[Double](dim))
-      val counts = new Array[Long](centroids.length)
-      partials.foreach { case (c, s, n) =>
-        counts(c) += n
-        var i = 0
-        while (i < dim) { sums(c)(i) += s(i); i += 1 }
+        centroids = updateCentroids(centroids, sums, counts)
+        bc.unpersist()
       }
-      centroids = centroids.indices.map { c =>
-        if (counts(c) == 0) centroids(c)
-        else { val out = sums(c); var i = 0; while (i < dim) { out(i) /= counts(c); i += 1 }; out }
-      }.toArray
-      bc.unpersist()
-    }
-    centroids
+      centroids
+    } finally cached.unpersist()
   }
 
   /** IVF (inverted-file) approximate top-k — the 10^9-vector scale path:
@@ -204,6 +222,7 @@ object Similarity {
       else {
         // deterministic training sample: smallest ids (stable under partitioning)
         val sample = vecs.orderBy(col(idCol)).limit(trainSample).collect().map(_._2)
+        require(sample.nonEmpty, "cannot train a quantizer on an empty corpus")
         val dim = sample.head.length
         var cs = Array.tabulate(math.min(nCells, sample.length))(i =>
           sample(((i.toLong * 2654435761L) % sample.length).toInt.abs).clone())
@@ -216,10 +235,7 @@ object Similarity {
             var i = 0
             while (i < dim) { sums(c)(i) += v(i); i += 1 }
           }
-          cs = cs.indices.map { c =>
-            if (counts(c) == 0) cs(c)
-            else { val out = sums(c); var i = 0; while (i < dim) { out(i) /= counts(c); i += 1 }; out }
-          }.toArray
+          cs = updateCentroids(cs, sums, counts)
         }
         cs
       }

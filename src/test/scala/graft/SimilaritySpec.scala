@@ -69,10 +69,14 @@ class SimilaritySpec extends SparkSpec {
       assert(cs.exists(c => c.indexOf(c.max) == axis),
         s"no centroid represents axis $axis: ${cs.map(_.mkString(",")).mkString(" | ")}")
     }
-    // deterministic under repartitioning (driver merge is order-independent
-    // up to float addition of per-partition partials on disjoint cells)
+    // stable under repartitioning: per-cell sums merge a DIFFERENT number of
+    // per-partition partials, so float addition order may differ in the last
+    // ulps — compare with a tolerance, not exact doubles
     val cs2 = Similarity.trainIvfCentroids(vecs.repartition(9), 3, 6)
-    assert(cs.map(_.toSeq).toSet === cs2.map(_.toSeq).toSet)
+    cs.foreach { c =>
+      assert(cs2.exists(c2 => c.zip(c2).forall { case (a, b) => math.abs(a - b) < 1e-9 }),
+        s"no repartitioned centroid matches ${c.mkString(",")}")
+    }
     // the distributed-trained IVF agrees with brute force on top-1 when
     // probing the query's own cluster cell
     val q = df.filter(col("vec_id") < 3)
