@@ -171,6 +171,17 @@ object SparkEntry {
         .agg(min(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("all_f"))
       flags.agg(round(avg("all_f"), 4).as("doc_exact_precision"))
     }),
+    // A5/O5 — the training loop's early-stop bookkeeping (run_qa.py:285-306)
+    // as a run-partitioned window operator: epoch histories derived
+    // deterministically from orders (4 runs x 25 epochs), strict-improvement
+    // patience counter, break after counter > 5; only executed epochs emit
+    "a5_early_stop" -> ((s, dir) => {
+      val hist = t(s, dir, "orders")
+        .groupBy(pmod(col("o_custkey"), lit(4)).as("run_id"),
+          (pmod(col("o_orderkey"), lit(25)) + 1).as("epoch"))
+        .agg((pmod(sum(col("o_orderkey")), lit(1000)) / 1000.0).as("dev_f1"))
+      graft.eval.TrainLoop.earlyStop(hist, patience = 5)
+    }),
     // ---------------------------------------------------------------- sampling
     "o2_deterministic_downsample" -> ((s, dir) => {
       val w = Window.partitionBy("user_id")
@@ -505,6 +516,33 @@ object SparkEntry {
       """SELECT round(avg(all_f), 4) AS doc_exact_precision FROM (
          SELECT o_custkey, min(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS all_f
          FROM orders GROUP BY 1)""",
+    "a5_early_stop" ->
+      """WITH hist AS (
+           SELECT o_custkey % 4 AS run_id, o_orderkey % 25 + 1 AS epoch,
+                  (sum(o_orderkey) % 1000) / 1000.0 AS dev_f1
+           FROM orders GROUP BY 1, 2),
+         scored AS (
+           SELECT run_id, epoch, dev_f1,
+                  row_number() OVER (PARTITION BY run_id ORDER BY epoch) AS rn,
+                  CASE WHEN dev_f1 > coalesce(max(dev_f1) OVER (
+                         PARTITION BY run_id ORDER BY epoch
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+                       THEN 1 ELSE 0 END AS improved
+           FROM hist),
+         counted AS (
+           SELECT run_id, epoch, dev_f1, rn, improved,
+                  greatest(max(dev_f1) OVER (
+                    PARTITION BY run_id ORDER BY epoch), 0.0) AS best_f1,
+                  CAST(rn - coalesce(max(CASE WHEN improved = 1 THEN rn END) OVER (
+                    PARTITION BY run_id ORDER BY epoch), 0) AS INTEGER) AS torrence_std
+           FROM scored),
+         stopped AS (
+           SELECT *, min(CASE WHEN torrence_std > 5 THEN rn END) OVER (
+                       PARTITION BY run_id) AS stop_rn
+           FROM counted)
+         SELECT run_id, epoch, dev_f1, best_f1, torrence_std,
+                CAST(improved AS INTEGER) AS improved
+         FROM stopped WHERE rn <= coalesce(stop_rn, 9223372036854775807)""",
     "o2_deterministic_downsample" ->
       """SELECT user_id, event_id FROM (
          SELECT user_id, event_id, row_number() OVER (

@@ -67,8 +67,10 @@ object Extract {
 
   /** Turn 1 for one document: the 4 subject questions → encode → ONE batched
     * kernel forward → Viterbi tags → span decode → deduped mention tokens
-    * per type (run_qa.py:440-471). */
-  def turn1(text: String, gaz: Gazetteer, kernel: Kernel, cfg: ExtractorConfig): List[(String, List[String])] = {
+    * per type (run_qa.py:440-471). Also carries the FIRST raw decoded span's
+    * token (pre-dedup, pre-emptiness-filter) — `head_entity['indices'][0]`,
+    * which is all the O6 subject-only branch consumes (run_qa.py:489). */
+  def turn1(text: String, gaz: Gazetteer, kernel: Kernel, cfg: ExtractorConfig): List[(String, List[String], Option[String])] = {
     val subjQs = Ontology.subject2question.toList
     val reqs = subjQs.map { case (st, question) =>
       val row = Encoder.encode(text, question, cfg.maxSeq)
@@ -83,7 +85,8 @@ object Extract {
         val tok = text.substring(sp.start, math.min(sp.end, text.length))
         if (tok.nonEmpty) mentions += tok // J3 dedup, run_qa.py:467-471
       }
-      st -> mentions.toList
+      val firstRaw = spans.headOption.map(sp => text.substring(sp.start, math.min(sp.end, text.length)))
+      (st, mentions.toList, firstRaw)
     }
   }
 
@@ -95,30 +98,51 @@ object Extract {
     * nested type → mention → relation loop, so the insertion-ordered J4
     * dedup sees triples in the same order as the row-at-a-time form. */
   def extractDoc(url: String, text: String, gaz: Gazetteer, kernel: Kernel,
-      cfg: ExtractorConfig): List[Triple] = {
-    // O6 (run_qa.py:488-496) — the subject-only-triple else-branch — is
-    // intentionally NOT carried over: it fires only when
-    // question_turn[type] == [] and every subject type in the reference's
-    // own ontology has turn-2 relations (data/data_utils.py:108-126), so the
-    // branch is dead under the reference's shipped configuration.
+      cfg: ExtractorConfig,
+      questionTurn: Map[String, List[String]] = Ontology.questionTurn): List[Triple] = {
+    // O6 (run_qa.py:488-496): a subject type with NO turn-2 relations emits
+    // one subject-only record from the FIRST raw turn-1 span (pre-dedup,
+    // run_qa.py:489 `head_entity['indices'][0]`) with empty
+    // relation/object_type/object. Dead under the reference's shipped
+    // ontology — every subject type there has relations
+    // (data/data_utils.py:108-126), pinned in ExtractSpec — but carried so a
+    // trimmed ontology behaves identically. `questionTurn` is the injection
+    // point; production callers use the shipped ontology default.
     val out = mutable.LinkedHashSet.empty[Triple] // J4 dedup
-    val t2Meta = for {
-      (st, mentions) <- turn1(text, gaz, kernel, cfg)
+    val t1 = turn1(text, gaz, kernel, cfg)
+    val t2Meta = (for {
+      (st, mentions, _) <- t1
       m <- mentions
-      rel <- Ontology.questionTurn(st)
-    } yield (st, m, rel)
-    t2Meta.grouped(kernelBatchSize).foreach { chunk =>
-      val reqs = chunk.map { case (_, m, rel) =>
+      rel <- questionTurn(st)
+    } yield (st, m, rel)).toArray
+    // Decode all turn-2 requests batched, buffering triples per request so
+    // the final emission can interleave O6 subject-only records at their
+    // type's position (the reference appends them inline in the per-type
+    // loop, run_qa.py:461-496).
+    val decoded = new Array[List[Triple]](t2Meta.length)
+    t2Meta.zipWithIndex.toSeq.grouped(kernelBatchSize).foreach { chunk =>
+      val reqs = chunk.map { case ((_, m, rel), _) =>
         val row = Encoder.encode(text, m + Ontology.relation2question(rel), cfg.maxSeq)
         val bias = gaz.objectSpans(text, m, rel).filter(_.end <= row.lenContext)
         (row, bias, Ontology.questionDic(rel))
       }.toArray
       val tags = kernel.tagBatch(reqs)
-      chunk.zipWithIndex.foreach { case ((st, m, rel), i) =>
-        Spans.indicesFromLabel(tags(i), Ontology.questionDic(rel)).foreach { sp =>
+      chunk.zipWithIndex.foreach { case (((st, m, rel), metaIx), i) =>
+        decoded(metaIx) = Spans.indicesFromLabel(tags(i), Ontology.questionDic(rel)).flatMap { sp =>
           val obj = text.substring(sp.start, math.min(sp.end, text.length))
-          if (obj.nonEmpty) out += Triple(url, st, m, rel, rel, obj)
-        }
+          if (obj.nonEmpty) Some(Triple(url, st, m, rel, rel, obj)) else None
+        }.toList
+      }
+    }
+    var metaIx = 0
+    t1.foreach { case (st, mentions, firstRaw) =>
+      if (questionTurn(st).isEmpty)
+        firstRaw.foreach(tok => out += Triple(url, st, tok, "", "", ""))
+      else {
+        val n = mentions.length * questionTurn(st).length
+        var j = 0
+        while (j < n) { decoded(metaIx + j).foreach(out += _); j += 1 }
+        metaIx += n
       }
     }
     out.toList

@@ -80,6 +80,31 @@ class ExtractSpec extends SparkSpec {
     assert(got2.isEmpty)
   }
 
+  test("O6 subject-only branch: dead under the shipped ontology, fires on a trimmed one") {
+    import graft.schema.Ontology
+    // shipped ontology: every subject type has turn-2 relations ⇒ the
+    // run_qa.py:488-496 else-branch never fires (the r1/r2 documentation
+    // claim, now pinned)
+    Ontology.subject2question.keys.foreach { st =>
+      assert(Ontology.questionTurn(st).nonEmpty, s"type $st has no relations")
+    }
+
+    val (gaz, kernel) = ExtractorModel.get(cfg.kernel)
+    val d = Corpus.buildDoc(3, seed = 21, noisyFrac = 0.0)
+    val default = Extract.extractDoc(d.page.url, d.page.text, gaz, kernel, cfg)
+    val st = default.head.subjectType
+    val trimmed = Ontology.questionTurn.updated(st, Nil)
+    val got = Extract.extractDoc(d.page.url, d.page.text, gaz, kernel, cfg, trimmed)
+
+    // the trimmed type yields exactly one subject-only record, from the
+    // first decoded span (run_qa.py:489 indices[0]); its turn-2 triples drop
+    val onlySt = got.filter(_.subjectType == st)
+    val firstSubject = default.filter(_.subjectType == st).head.subject
+    assert(onlySt === List(graft.schema.Triple(d.page.url, st, firstSubject, "", "", "")))
+    // all other types are untouched
+    assert(got.filterNot(_.subjectType == st) === default.filterNot(_.subjectType == st))
+  }
+
   test("doc-exact precision (cal_triple_res) is 1.0 on clean corpus") {
     val pages = Corpus.pages(spark, 300, seed = 42, noisyFrac = 0.0).toDF()
     val gold = Corpus.gold(spark, 300, seed = 42, noisyFrac = 0.0)
