@@ -11,8 +11,14 @@ object Verify {
     // builder would drop spark-warehouse into the invoking cwd)
     val spark = SparkSessionFactory.local(cpus, "graft-verify")
     new java.io.File(outDir).mkdirs()
-    // optional comma-separated query filter for targeted local parity checks
+    // optional comma-separated query filter for targeted local parity checks;
+    // unknown names fail fast (a typo must not skip everything and exit 0)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -69,8 +69,16 @@ object Losses {
   /** One sequence's log-likelihood under pytorch-crf semantics (the LIVE
     * loss core, bert_mrc.py:160 via `torchcrf.CRF.forward`):
     * numerator = start[y0] + e(0,y0) + Σ_{i≥1, mask} (T[y_{i-1},y_i] + e(i,y_i))
-    * + end[y_last]; denominator = forward algorithm over masked steps.
-    * `mask(0)` must be true (torchcrf's own precondition). */
+    * + end[y_seqEnd]; denominator = forward algorithm over masked steps.
+    * `mask(0)` must be true (torchcrf's own precondition).
+    *
+    * torchcrf quirks for NON-CONTIGUOUS masks, reproduced exactly
+    * (`torchcrf._compute_score`): the transition at a masked step i uses the
+    * RAW previous tag `tags[i-1]` (even if position i-1 itself is mask=0),
+    * and the end transition indexes `tags[mask.sum()-1]` — the tag at
+    * position (count of masked steps − 1), NOT the last masked position.
+    * For the contiguous tail masks the reference actually feeds, both
+    * coincide with the intuitive reading. */
   def crfLogLikelihood(
       emissions: Array[Array[Double]],
       tags: Array[Int],
@@ -84,16 +92,16 @@ object Losses {
 
     // numerator: score of the gold path over masked positions
     var num = p.startTransitions(tags(0)) + emissions(0)(tags(0))
-    var last = tags(0)
+    var maskedCount = 1
     var i = 1
     while (i < T) {
       if (mask(i)) {
-        num += p.transitions(last)(tags(i)) + emissions(i)(tags(i))
-        last = tags(i)
+        num += p.transitions(tags(i - 1))(tags(i)) + emissions(i)(tags(i))
+        maskedCount += 1
       }
       i += 1
     }
-    num += p.endTransitions(last)
+    num += p.endTransitions(tags(maskedCount - 1))
 
     // denominator: masked forward algorithm
     var fv = new Array[Double](K)
@@ -300,7 +308,10 @@ object Losses {
     (loss * dropoutSample) / (batch.length + dropoutSample)
   }
 
-  /** torch BCELoss (mean) over a probability slice. */
+  /** torch BCELoss (mean) over a probability slice. Like torch, log is
+    * clamped at −100 so boundary probabilities stay finite: pred=1, gold=1
+    * scores 0 (not 0·−∞ = NaN) and pred=0, gold=1 scores 100 — a saturated
+    * sigmoid must not poison a parity audit. */
   private def bceSlice(pred: Array[Double], gold: Array[Double], from: Int, len: Int): Double = {
     require(from >= 0 && from + len <= pred.length && len > 0)
     var total = 0.0
@@ -308,7 +319,9 @@ object Losses {
     while (k < from + len) {
       val p = pred(k)
       require(p >= 0.0 && p <= 1.0, s"BCE input out of [0,1]: $p")
-      total += -(gold(k) * math.log(p) + (1.0 - gold(k)) * math.log(1.0 - p))
+      val lp = math.max(math.log(p), -100.0)
+      val l1p = math.max(math.log(1.0 - p), -100.0)
+      total += -(gold(k) * lp + (1.0 - gold(k)) * l1p)
       k += 1
     }
     total / len

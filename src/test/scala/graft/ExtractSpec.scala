@@ -97,10 +97,14 @@ class ExtractSpec extends SparkSpec {
     val got = Extract.extractDoc(d.page.url, d.page.text, gaz, kernel, cfg, trimmed)
 
     // the trimmed type yields exactly one subject-only record, from the
-    // first decoded span (run_qa.py:489 indices[0]); its turn-2 triples drop
+    // FIRST RAW decoded span (run_qa.py:489 indices[0], pre-dedup and
+    // pre-emptiness-filter — read straight off turn1, not off the default
+    // run's first triple, which would only coincidentally agree)
     val onlySt = got.filter(_.subjectType == st)
-    val firstSubject = default.filter(_.subjectType == st).head.subject
-    assert(onlySt === List(graft.schema.Triple(d.page.url, st, firstSubject, "", "", "")))
+    val firstRaw = Extract.turn1(d.page.text, gaz, kernel, cfg)
+      .collectFirst { case (`st`, _, raw) => raw }.flatten
+    assert(firstRaw.nonEmpty, s"fixture must decode at least one span for $st")
+    assert(onlySt === List(graft.schema.Triple(d.page.url, st, firstRaw.get, "", "", "")))
     // all other types are untouched
     assert(got.filterNot(_.subjectType == st) === default.filterNot(_.subjectType == st))
   }

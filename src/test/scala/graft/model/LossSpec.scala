@@ -102,6 +102,41 @@ class LossSpec extends AnyFunSuite {
     assert(math.abs(nll - (fwd - gold)) < 1e-12)
   }
 
+  test("torchcrf quirks on a NON-contiguous mask: raw previous tag, count-indexed end tag") {
+    // torchcrf._compute_score with mask=[1,0,1]: the i=2 transition uses the
+    // RAW tags[1] (even though step 1 is masked out), and the end transition
+    // indexes tags[mask.sum()-1] = tags[1] — the tag at position 1, not the
+    // last masked position 2. The denominator skips masked steps.
+    val T = 3
+    val e = mat(T, K)
+    val p = params()
+    val tags = Array(2, 0, 3)
+    val mask = Array(true, false, true)
+
+    val num = p.startTransitions(2) + e(0)(2) +
+      p.transitions(0)(3) + e(2)(3) + // raw previous tag 0 (the masked one)
+      p.endTransitions(0) // tags[mask.sum()-1] = tags[1] = 0
+    // denominator over the two masked steps = truncated [e(0), e(2)] sequence
+    val paths2 = for (a <- 0 until K; b <- 0 until K) yield
+      p.startTransitions(a) + e(0)(a) + p.transitions(a)(b) + e(2)(b) + p.endTransitions(b)
+    val logZ = math.log(paths2.map(math.exp).sum)
+    val got = Losses.crfLogLikelihood(e, tags, mask, p)
+    assert(math.abs(got - (num - logZ)) < 1e-9, s"got $got expected ${num - logZ}")
+  }
+
+  test("BCE boundary probabilities follow torch's log clamp at -100") {
+    // pred=1 gold=1 → 0; pred=0 gold=0 → 0; pred=1 gold=0 → 100 (torch clamp);
+    // questionFirst=false so the slice is [1, 1+c)
+    val b2 = Seq((Array(0.0, 1.0, 0.0, 1.0), Array(0.0, 0.5, 0.5, 0.5), Array(0.0, 1.0, 0.0, 0.0), Array(0.0, 1.0, 1.0, 1.0)))
+    val l2 = Seq((0, 3))
+    val got = Losses.bceLossStartEnd(b2, l2, questionFirst = false)
+    // starts slice [1,4): (p=1,g=1)→0, (p=0,g=0)→0, (p=1,g=0)→100 ⇒ mean 100/3
+    // ends slice [1,4): (p=.5,g=1)→log2, (p=.5,g=1)→log2, (p=.5,g=1)→log2 ⇒ mean log2
+    val expected = (100.0 / 3 + math.log(2.0)) / 2.0
+    assert(!got.isNaN && !got.isInfinite)
+    assert(math.abs(got - expected) < 1e-9, s"got $got expected $expected")
+  }
+
   test("live batch CRF loss is -sum(llh), independent of dropoutSample") {
     val p = params()
     val batch = (0 until 3).map { _ =>
