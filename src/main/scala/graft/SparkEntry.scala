@@ -182,6 +182,16 @@ object SparkEntry {
         .agg((pmod(sum(col("o_orderkey")), lit(1000)) / 1000.0).as("dev_f1"))
       graft.eval.TrainLoop.earlyStop(hist, patience = 5)
     }),
+    // A5 companion — which checkpoint the final test pass would load per run
+    // (the LAST improving epoch; null when a run never beats the init 0,
+    // run_qa.py:294-299/327-337)
+    "a5_best_checkpoint" -> ((s, dir) => {
+      val hist = t(s, dir, "orders")
+        .groupBy(pmod(col("o_custkey"), lit(4)).as("run_id"),
+          (pmod(col("o_orderkey"), lit(25)) + 1).as("epoch"))
+        .agg((pmod(sum(col("o_orderkey")), lit(1000)) / 1000.0).as("dev_f1"))
+      graft.eval.TrainLoop.bestCheckpoint(hist, patience = 5)
+    }),
     // ---------------------------------------------------------------- sampling
     "o2_deterministic_downsample" -> ((s, dir) => {
       val w = Window.partitionBy("user_id")
@@ -543,6 +553,38 @@ object SparkEntry {
          SELECT run_id, epoch, dev_f1, best_f1, torrence_std,
                 CAST(improved AS INTEGER) AS improved
          FROM stopped WHERE rn <= coalesce(stop_rn, 9223372036854775807)""",
+    "a5_best_checkpoint" ->
+      """WITH hist AS (
+           SELECT o_custkey % 4 AS run_id, o_orderkey % 25 + 1 AS epoch,
+                  (sum(o_orderkey) % 1000) / 1000.0 AS dev_f1
+           FROM orders GROUP BY 1, 2),
+         scored AS (
+           SELECT run_id, epoch, dev_f1,
+                  row_number() OVER (PARTITION BY run_id ORDER BY epoch) AS rn,
+                  CASE WHEN dev_f1 > coalesce(max(dev_f1) OVER (
+                         PARTITION BY run_id ORDER BY epoch
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+                       THEN 1 ELSE 0 END AS improved
+           FROM hist),
+         counted AS (
+           SELECT run_id, epoch, dev_f1, rn, improved,
+                  greatest(max(dev_f1) OVER (
+                    PARTITION BY run_id ORDER BY epoch), 0.0) AS best_f1,
+                  CAST(rn - coalesce(max(CASE WHEN improved = 1 THEN rn END) OVER (
+                    PARTITION BY run_id ORDER BY epoch), 0) AS INTEGER) AS torrence_std
+           FROM scored),
+         stopped AS (
+           SELECT *, min(CASE WHEN torrence_std > 5 THEN rn END) OVER (
+                       PARTITION BY run_id) AS stop_rn
+           FROM counted),
+         executed AS (
+           SELECT * FROM stopped
+           WHERE rn <= coalesce(stop_rn, 9223372036854775807))
+         SELECT run_id,
+                max(CASE WHEN improved = 1 THEN epoch END) AS best_epoch,
+                max(best_f1) AS best_f1,
+                CAST(count(*) AS INTEGER) AS epochs_run
+         FROM executed GROUP BY run_id""",
     "o2_deterministic_downsample" ->
       """SELECT user_id, event_id FROM (
          SELECT user_id, event_id, row_number() OVER (
