@@ -76,6 +76,24 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, "expected partial+final")
   }
 
+  test("a5 early-stop: all windows share one run-keyed exchange (no per-run re-shuffle)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val raw = SparkEntry.queries("a5_early_stop")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan
+    val plan = raw match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.size >= 3, s"expected the improved/best/stop windows, got ${windows.size}")
+    // one exchange for the history groupBy, ONE for every run-partitioned
+    // window — a sweep of N runs costs two shuffles total, not 1 + windows
+    assert(exchanges.size <= 2,
+      s"expected <= 2 shuffles (agg + shared run key), got ${exchanges.size}:\n${plan.toString.take(2000)}")
+  }
+
   test("whole-stage codegen covers the relational prep before the barrier") {
     import org.apache.spark.sql.execution.WholeStageCodegenExec
     val pages = spark.read.parquet(pagesDir)
