@@ -28,8 +28,13 @@ object TrainLoop {
     * each with: `best_f1` (running best AFTER this epoch's update, floored
     * at the reference's init 0), `improved` (1 when this epoch exports a
     * checkpoint), and `torrence_std` (the counter value AFTER this epoch).
-    * Epoch numbering may be arbitrary — ordering is what matters; the
-    * counter is computed over row positions, faithful to the loop.
+    * Epoch numbering may be arbitrary — ordering is what matters (epochs
+    * must be unique per run, as in the reference's one-F1-per-epoch loop;
+    * duplicate epoch keys would make the row ordering nondeterministic); the
+    * counter is computed over row positions, faithful to the loop. A null
+    * F1 counts as "no improvement" (the running best and the patience
+    * counter advance past it), so a failed eval epoch cannot poison the
+    * ledger with null flags.
     */
   def earlyStop(
       history: DataFrame,
@@ -45,9 +50,11 @@ object TrainLoop {
 
     history
       .withColumn("rn", row_number().over(byRun))
-      // strict improvement over the running best, best initialized to 0
+      // strict improvement over the running best, best initialized to 0;
+      // null F1 (failed eval) coalesces to "not improved", never a null flag
       .withColumn("improved",
-        (col(f1Col) > coalesce(max(col(f1Col)).over(strictPrefix), lit(0.0))).cast("int"))
+        coalesce((col(f1Col) > coalesce(max(col(f1Col)).over(strictPrefix), lit(0.0))).cast("int"),
+          lit(0)))
       .withColumn("best_f1", greatest(max(col(f1Col)).over(prefix), lit(0.0)))
       .withColumn("torrence_std",
         (col("rn") - coalesce(max(when(col("improved") === 1, col("rn"))).over(prefix), lit(0)))

@@ -65,6 +65,21 @@ class TrainLoopSpec extends SparkSpec {
     assert(got === Map(1L -> 6L, 2L -> 7L))
   }
 
+  test("null F1 epochs (failed evals) count as no-improvement, never emit null flags") {
+    import spark.implicits._
+    // epochs 2 and 3 have null F1: best stays 0.5, counter advances, and the
+    // run stops after the patience-1 window closes at epoch 4
+    val hist = Seq(
+      (1L, 1L, Some(0.5)), (1L, 2L, None), (1L, 3L, None), (1L, 4L, Some(0.4))
+    ).toDF("run_id", "epoch", "dev_f1")
+    val rows = TrainLoop.earlyStop(hist, patience = 1).orderBy("epoch").collect()
+    assert(rows.length === 3) // counter hits 2 > 1 at epoch 3 → epoch 4 never runs
+    assert(rows.forall(r => !r.isNullAt(5)), "improved flag must never be null")
+    assert(rows.map(_.getInt(5)).toSeq === Seq(1, 0, 0))
+    assert(rows.map(_.getDouble(3)).toSeq === Seq(0.5, 0.5, 0.5)) // best sticks
+    assert(rows.map(_.getInt(4)).toSeq === Seq(0, 1, 2))
+  }
+
   test("bestCheckpoint: last improving epoch wins; never-improving run yields null") {
     import spark.implicits._
     val hist = (Seq(0.5, 0.7, 0.6, 0.7, 0.8).zipWithIndex.map { case (f, i) => (1L, (i + 1).toLong, f) } ++
