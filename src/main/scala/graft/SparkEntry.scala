@@ -258,6 +258,20 @@ object SparkEntry {
     "text_stopword_ratio" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         round(TextStats.stopwordRatio(col("text")), 4).as("stopword_ratio"))),
+    // TF-IDF characteristic terms (smoothed sklearn idf, deterministic
+    // term-tiebroken rank) — restricted to doc_id < 100 to keep the oracle's
+    // unnest tractable; the operator itself runs corpus-wide in the pipeline
+    "text_tfidf_topk" -> ((s, dir) =>
+      TextStats.tfidfTopK(
+        t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text", k = 5)),
+    // ---------------------------------------------------------------- sampling (corpus curation)
+    // deterministic hash-Bernoulli rebalance by language: en 0.25, de 0.5,
+    // es 0.75, zh 1.0, fr unlisted → dropped. Map-side filter, zero shuffles.
+    "sample_stratified" -> ((s, dir) =>
+      graft.ops.Sampling.hashStratified(
+        t(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 0.25, "de" -> 0.5, "es" -> 0.75, "zh" -> 1.0), salt = "graft")
+        .select("doc_id", "lang", "source")),
     // ---------------------------------------------------------------- dedup
     "dedup_exact_groups" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -650,6 +664,31 @@ object SparkEntry {
             AS stopword_ratio
           FROM documents"""
     },
+    "text_tfidf_topk" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id < 100),
+         raw AS (
+           SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+           FROM corpus),
+         toks AS (SELECT doc_id, term FROM raw WHERE length(term) > 0),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM corpus),
+         scored AS (
+           SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                  round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 4) AS tfidf
+           FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         ranked AS (
+           SELECT *, CAST(row_number() OVER (
+             PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
+           FROM scored)
+         SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 5""",
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE md5(CAST(doc_id AS VARCHAR) || ':graft') <
+           CASE lang WHEN 'en' THEN '40000000000000000000000000000000'
+                     WHEN 'de' THEN '80000000000000000000000000000000'
+                     WHEN 'es' THEN 'c0000000000000000000000000000000'
+                     WHEN 'zh' THEN 'g' END""",
     // Spark's lookaround split has no RE2 twin; equivalent closed form:
     // pieces = (# alnum runs) + (# non-alnum chars)
     "text_subword_count" ->

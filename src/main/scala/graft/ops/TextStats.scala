@@ -72,6 +72,48 @@ object TextStats {
     xxhash64(lower(regexp_replace(text, "\\s+", " ")))
 
   // ------------------------------------------------------------------
+  // TF-IDF characteristic terms — the corpus-weighted keyword extractor a
+  // training-data pipeline uses for topic tagging, quality heuristics, and
+  // near-dup triage. Smoothed sklearn-style idf: ln((N+1)/(df+1)) + 1.
+  // ------------------------------------------------------------------
+
+  /** Top-k characteristic terms per document by TF-IDF.
+    *
+    * Scale shape (each stage bounded, no skew traps):
+    *  - tokenize + explode: map-side, whitespace terms, codegen'd
+    *  - `tf` agg shuffles on (doc, term) with map-side partial combine
+    *  - `df` agg shuffles on term — output is vocabulary-sized, partial agg
+    *    keeps the exchange at |vocab|, not |tokens|
+    *  - the tf⋈df join shuffles on term; AQE broadcasts df when the
+    *    vocabulary is small
+    *  - the per-doc top-k window re-shuffles on doc id; each partition is
+    *    one document's DISTINCT terms (bounded by doc length — no hot key
+    *    can exceed it)
+    * `N` (corpus size) is a driver-side count — one column-pruned scan,
+    * metadata-cheap at any scale. Ranks are fully deterministic: ties on
+    * the rounded score break by term. Null ids/texts are dropped/empty. */
+  def tfidfTopK(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1: $k")
+    val valid = docs.filter(col(idCol).isNotNull)
+    val n = valid.count() // N = valid docs, consistent with the tf universe
+    val toks = valid
+      .select(col(idCol),
+        explode(filter(split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+"),
+          t => length(t) > 0)).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("tfidf",
+        round(col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 4))
+    val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"), col("rank"))
+  }
+
+  // ------------------------------------------------------------------
   // Winnowing document fingerprints (Schleimer, Wilkerson, Aiken — "Winnowing:
   // Local Algorithms for Document Fingerprinting", SIGMOD'03): Rabin-Karp
   // rolling hash over char k-grams, then the minimum hash of every
