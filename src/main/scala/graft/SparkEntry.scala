@@ -46,6 +46,14 @@ object SparkEntry {
       .flatMap { case (st, rels) => rels.map(r => (st, r)) }
       .toDF("subject_type", "relation")
   }
+  /** Synthetic per-epoch dev-F1 histories (4 runs × 25 epochs, deterministic
+    * from orders) — shared by both a5 queries so their constants cannot
+    * silently diverge. Their oracle CTEs mirror this derivation verbatim. */
+  private def a5Hist(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(pmod(col("o_custkey"), lit(4)).as("run_id"),
+        (pmod(col("o_orderkey"), lit(25)) + 1).as("epoch"))
+      .agg((pmod(sum(col("o_orderkey")), lit(1000)) / 1000.0).as("dev_f1"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------------------------------------------------------- scans/aggs
@@ -175,23 +183,13 @@ object SparkEntry {
     // as a run-partitioned window operator: epoch histories derived
     // deterministically from orders (4 runs x 25 epochs), strict-improvement
     // patience counter, break after counter > 5; only executed epochs emit
-    "a5_early_stop" -> ((s, dir) => {
-      val hist = t(s, dir, "orders")
-        .groupBy(pmod(col("o_custkey"), lit(4)).as("run_id"),
-          (pmod(col("o_orderkey"), lit(25)) + 1).as("epoch"))
-        .agg((pmod(sum(col("o_orderkey")), lit(1000)) / 1000.0).as("dev_f1"))
-      graft.eval.TrainLoop.earlyStop(hist, patience = 5)
-    }),
+    "a5_early_stop" -> ((s, dir) =>
+      graft.eval.TrainLoop.earlyStop(a5Hist(s, dir), patience = 5)),
     // A5 companion — which checkpoint the final test pass would load per run
     // (the LAST improving epoch; null when a run never beats the init 0,
     // run_qa.py:294-299/327-337)
-    "a5_best_checkpoint" -> ((s, dir) => {
-      val hist = t(s, dir, "orders")
-        .groupBy(pmod(col("o_custkey"), lit(4)).as("run_id"),
-          (pmod(col("o_orderkey"), lit(25)) + 1).as("epoch"))
-        .agg((pmod(sum(col("o_orderkey")), lit(1000)) / 1000.0).as("dev_f1"))
-      graft.eval.TrainLoop.bestCheckpoint(hist, patience = 5)
-    }),
+    "a5_best_checkpoint" -> ((s, dir) =>
+      graft.eval.TrainLoop.bestCheckpoint(a5Hist(s, dir), patience = 5)),
     // ---------------------------------------------------------------- sampling
     "o2_deterministic_downsample" -> ((s, dir) => {
       val w = Window.partitionBy("user_id")

@@ -43,13 +43,22 @@ object TextStats {
     "was", "for", "on", "with", "as", "at", "by", "this", "are", "be",
     "from", "not", "but", "they", "his", "her", "its", "we", "you")
 
+  /** Lowercased whitespace tokens — THE tokenizer shared by every term-level
+    * op (stopwordRatio, tfidfTopK) and mirrored by their DuckDB oracles'
+    * `string_split_regex(lower(trim(text)), '\s+')`. Known latent
+    * divergence, shared by all text_* oracles: Java `\s` includes U+000B
+    * (vertical tab), RE2's does not — the synthetic corpus contains neither,
+    * and any tokenizer change must land here AND in each oracle's regex. */
+  private[ops] def lowerTokens(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
   /** Stopword ratio: stopword tokens / all tokens (0 for empty) — the
     * classic fluency signal (boilerplate/token-soup text scores low, prose
     * scores 0.3-0.6). Native `filter` + `isInCollection` (InSet, codegen'd). */
   def stopwordRatio(text: Column): Column =
     when(tokenCount(text) === 0, lit(0.0))
       .otherwise(
-        size(filter(split(lower(trim(text)), "\\s+"), w => w.isInCollection(stopwords)))
+        size(filter(lowerTokens(text), w => w.isInCollection(stopwords)))
           .cast("double") / tokenCount(text))
 
   /** Mean word length over whitespace tokens (0 for empty). */
@@ -89,24 +98,27 @@ object TextStats {
     *  - the per-doc top-k window re-shuffles on doc id; each partition is
     *    one document's DISTINCT terms (bounded by doc length — no hot key
     *    can exceed it)
-    * `N` (corpus size) is a driver-side count — one column-pruned scan,
-    * metadata-cheap at any scale. Ranks are fully deterministic: ties on
-    * the rounded score break by term. Null ids/texts are dropped/empty. */
+    * `N` (corpus size = valid docs, token-less ones included) joins in
+    * LAZILY as a 1-row aggregate cross join — no eager driver count, the
+    * operator composes like any other transformation (the count pass is a
+    * zero-column scan, metadata-cheap at any scale). Ranks are fully
+    * deterministic: ties on the rounded score break by term. Null ids/texts
+    * are dropped/empty. */
   def tfidfTopK(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int = 5): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k must be >= 1: $k")
     val valid = docs.filter(col(idCol).isNotNull)
-    val n = valid.count() // N = valid docs, consistent with the tf universe
+    val corpusN = valid.agg(count(lit(1)).as("corpus_n"))
     val toks = valid
       .select(col(idCol),
-        explode(filter(split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+"),
+        explode(filter(lowerTokens(coalesce(col(textCol), lit(""))),
           t => length(t) > 0)).as("term"))
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(dfreq, "term")
+    val scored = tf.join(dfreq, "term").crossJoin(corpusN)
       .withColumn("tfidf",
-        round(col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 4))
+        round(col("tf") * (log((col("corpus_n") + 1.0) / (col("df") + 1.0)) + 1.0), 4))
     val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("term"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
