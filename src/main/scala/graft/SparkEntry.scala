@@ -84,6 +84,22 @@ object SparkEntry {
         .groupBy("n_name")
         .agg(round(sum("o_totalprice"), 2).as("rev"), count(lit(1)).as("cnt"))
     }),
+    // Q9-shaped margin rollup — completes source coverage (part, supplier,
+    // region were previously unread): two fact-side shuffle joins AQE can
+    // re-plan, two broadcast dims, a pushdown-eligible part filter
+    "q9_supplier_margin" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part").filter(col("p_size") <= 20),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") =!= "MIDDLE EAST")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            - col("l_quantity") * col("p_retailprice") * 0.5), 2).as("margin"),
+          count(lit(1)).as("cnt"))),
     // ---------------------------------------------------------------- filters
     "f1_length_gate" -> ((s, dir) =>
       t(s, dir, "documents").filter(length(col("text")) < 300)
@@ -474,6 +490,17 @@ object SparkEntry {
          FROM customer JOIN nation ON c_nationkey=n_nationkey
          JOIN orders ON o_custkey=c_custkey
          GROUP BY n_name""",
+    "q9_supplier_margin" ->
+      """SELECT r_name, n_name,
+         round(sum(l_extendedprice * (1.0 - l_discount)
+           - l_quantity * p_retailprice * 0.5), 2) AS margin,
+         CAST(count(*) AS BIGINT) AS cnt
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey AND p_size <= 20
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey AND r_name <> 'MIDDLE EAST'
+         GROUP BY 1, 2""",
     "f1_length_gate" ->
       "SELECT doc_id, n_chars FROM documents WHERE length(text) < 300",
     "f2_keyword_exclusion" ->
