@@ -56,6 +56,40 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(quarter.size - 125) < 50, s"0.25 of 500 gave ${quarter.size}")
   }
 
+  test("hexThreshold is monotone in the fraction — the nesting invariant's root") {
+    val rnd = new scala.util.Random(42)
+    val fs = (Seq.fill(500)(rnd.nextDouble()) ++ Seq(0.0, 1e-12, 0.999999, 1.0)).sorted
+    fs.sliding(2).foreach {
+      case Seq(a, b) =>
+        // equal-length lowercase hex ⇒ lexicographic == numeric; "g" tops all
+        assert(Sampling.hexThreshold(a) <= Sampling.hexThreshold(b),
+          s"thresholds must not reorder: $a vs $b")
+      case _ =>
+    }
+    assert(Sampling.hexThreshold(1.0) > "f" * 32)
+  }
+
+  test("gate is stateless-streaming-safe: stream verdicts equal batch verdicts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = (0L until 500L).map(i => (i, Seq("en", "de")(i.toInt % 2)))
+    val fr = Map("en" -> 0.5, "de" -> 0.25)
+
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(rows: _*)
+    val q = Sampling.hashStratified(ms.toDF.toDF("id", "lang"), "lang", "id", fr)
+      .writeStream.format("memory").queryName("samp_gate").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamIds = spark.table("samp_gate").select("id").collect().map(_.getLong(0)).toSet
+
+    val batchIds = Sampling.hashStratified(rows.toDF("id", "lang"), "lang", "id", fr)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(streamIds === batchIds,
+      "the content-hash gate must give identical verdicts in stream and batch")
+    assert(streamIds.nonEmpty && streamIds.size < rows.size)
+  }
+
   test("null keys and null strata are dropped, not crashed") {
     import spark.implicits._
     val df = Seq(
