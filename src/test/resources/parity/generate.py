@@ -92,6 +92,26 @@ out["triple_res"] = {"docs": [
     {"gold": [x["s"] for x in g], "pred": [x["s"] for x in p]} for g, p in docs],
     "match_count": mc, "precision": precT}
 
+# T1/T2/T3 byte-identity: run the reference's clean_data + process_sent on
+# randomized adversarial mixes (urls, paren runs, mixed-width punctuation,
+# unicode whitespace) — draws APPENDED after all prior sections so the rng
+# stream for the earlier fixtures is unchanged.
+from data.data_utils import clean_data
+from data.apply_text_norm import process_sent
+
+frag = ["肿物", "结节", "见图", "大小", "abc", "XY12", "１２３", "ＡＢＣｚ",
+        "“引”", "‘单’", "《书》", "「框」", "（", "）", "(", ")", ",", "，",
+        "。", "！", "？", "：", "~", "～", "＠", "#", "*", "##", "**", "#*#*",
+        " ", "  ", "\t", "\n", "　", "　　", "-", "+=", "；", "【】",
+        "（/topics/zh-cn/17）", "（http://www.cdc.gov/a.html）",
+        "targetUrl=http://a.b/c）", "（/x）", "（httpX）",
+        "http://bare.url/x", "targetUrl=http没）"]
+out["textnorm"] = []
+for _ in range(300):
+    s = ''.join(rng.choice(frag) for _ in range(rng.randint(0, 12)))
+    out["textnorm"].append(
+        {"in": s, "clean": clean_data(s), "process": process_sent(s)})
+
 dst = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'reference_outputs.json')
 with open(dst, 'w') as f:
     json.dump(out, f, ensure_ascii=False)

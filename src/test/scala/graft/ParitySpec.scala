@@ -70,6 +70,24 @@ class ParitySpec extends SparkSpec {
     assert(math.abs(macros("acc") - perf.get("acc").asDouble()) < 1e-9)
   }
 
+  test("T1/T2/T3: 300 randomized adversarial strings match the reference byte-for-byte") {
+    // the north_rule's #1 invariant (byte-identical extracted text per url),
+    // machine-checked against the reference's own clean_data/process_sent on
+    // url fragments, paren runs, mixed-width punctuation, unicode whitespace
+    var n = 0
+    root.get("textnorm").elements().asScala.foreach { c =>
+      val in = c.get("in").asText()
+      val gotClean = graft.functions.TextNorm.cleanDataStr(in)
+      val gotProc = graft.functions.TextNorm.processSentStr(in)
+      assert(gotClean.getBytes("UTF-8").toSeq === c.get("clean").asText().getBytes("UTF-8").toSeq,
+        s"clean_data mismatch on: ${in.take(80)}")
+      assert(gotProc.getBytes("UTF-8").toSeq === c.get("process").asText().getBytes("UTF-8").toSeq,
+        s"process_sent mismatch on: ${in.take(80)}")
+      n += 1
+    }
+    assert(n === 300)
+  }
+
   test("cal_triple_res doc-exact precision matches the reference") {
     import spark.implicits._
     val tr = root.get("triple_res")
