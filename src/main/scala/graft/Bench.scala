@@ -130,9 +130,33 @@ object Bench {
       f"""{"docs":$kgDocs,"n":$nSmall,"n4":$n4,"runs":$runsJson,""" +
         f""""scaling_efficiency_n_to_4n":$eff%.3f,"round_efficiencies":$effsJson,""" +
         f""""triples_per_sec_full":${runs.last._4}%.1f}"""
+
+    // ---- phase 3: streaming extraction throughput (§2.9) — the SAME
+    // operator graph under Trigger.AvailableNow with an exactly-once file
+    // sink + checkpoint; measured at full width on a fresh synthetic drop
+    // (the streaming twin of the kg pipeline, including sink/checkpoint
+    // overhead the batch path doesn't pay)
+    val streamJson = {
+      if (cpus != runs.last._1) { spark.stop(); spark = session(cpus) }
+      val streamDocs = math.max(kgDocs / 4, 500L)
+      val root = java.nio.file.Files.createTempDirectory("graft-bench-stream").toString
+      try {
+        graft.synth.Corpus.pages(spark, streamDocs, seed = 17, noisyFrac = 0.02)
+          .toDF().write.parquet(s"$root/pages")
+        val (_, sec) = time {
+          val q = graft.streaming.StreamExtract.runAvailableNow(
+            spark, s"$root/pages", s"$root/out", s"$root/ckpt")
+          q.awaitTermination()
+        }
+        val triples = spark.read.parquet(s"$root/out").count()
+        f"""{"docs":$streamDocs,"sec":$sec%.2f,"triples":$triples,""" +
+          f""""triples_per_sec":${triples / sec}%.1f}"""
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-        f""""kg_scaling":$kg,"sf":"$sfDir"}""")
+        f""""kg_scaling":$kg,"streaming":$streamJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
