@@ -11,6 +11,8 @@ import graft.synth.Corpus
   *    cpus) on the SAME synthetic input — the sandbox evidence for the
   *    north_rule's N→4N executor scaling-efficiency ≥ 0.8 criterion
   *    (BASELINE.md "target: scaling"): eff = thr(4N) / (4 · thr(N)).
+  *  - streaming extraction throughput (AvailableNow + exactly-once sink +
+  *    checkpoint) on a fresh synthetic drop, as the "streaming" key.
   */
 object Bench {
 
