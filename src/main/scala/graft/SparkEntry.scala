@@ -286,6 +286,23 @@ object SparkEntry {
         t(s, dir, "documents"), "lang", "doc_id",
         Map("en" -> 0.25, "de" -> 0.5, "es" -> 0.75, "zh" -> 1.0), salt = "graft")
         .select("doc_id", "lang", "source")),
+    // the flagship CURATION COMPOSITION — the ops chained the way a real
+    // 100 TB training-data pass runs them: quality gate → script gate →
+    // stratified rebalance → exact dedup (keepers only) → TF-IDF tagging.
+    // One declarative plan end-to-end; every stage oracle-mirrored.
+    "curation_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gated = docs
+        .filter(TextStats.qualityScore(col("text")) >= 0.5)
+        .filter(TextStats.langGuess(col("text")) === "latin")
+      val sampled = graft.ops.Sampling.hashStratified(
+        gated, "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0), salt = "graft")
+      // single-pass keeper window (not exact's agg+self-join) so the gated
+      // scan is never re-evaluated — the QaGen r2 lesson applied forward
+      TextStats.tfidfTopK(Dedup.exactKeepers(sampled, "doc_id", "text"),
+        "doc_id", "text", k = 3)
+    }),
     // ---------------------------------------------------------------- dedup
     "dedup_exact_groups" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -714,6 +731,46 @@ object SparkEntry {
                      WHEN 'de' THEN '80000000000000000000000000000000'
                      WHEN 'es' THEN 'c0000000000000000000000000000000'
                      WHEN 'zh' THEN 'g' END""",
+    "curation_pipeline" ->
+      """WITH sampled AS (
+           SELECT doc_id, text FROM documents
+           WHERE round(greatest(0.0,
+                 least(length(text)/500.0, 1.0)
+                 * (CASE WHEN (CASE WHEN length(trim(text))=0 THEN 0.0
+                      ELSE CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                           / length(string_split_regex(trim(text), '\s+')) END)
+                      BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.4 END)
+                 * (1.0 - least((CASE WHEN length(text)=0 THEN 0.0
+                      ELSE CAST(length(text) - length(regexp_replace(text,'[.!?,;:。，！？；：]','','g')) AS DOUBLE)
+                           / length(text) END) * 4.0, 1.0) * 0.5)), 4) >= 0.5
+             AND (CASE WHEN length(text)=0 THEN 'unknown'
+                  WHEN CAST(length(text) - length(regexp_replace(text,'[^\x00-\x7F]','','g')) AS DOUBLE)
+                       / length(text) > 0.3 THEN 'cjk'
+                  ELSE 'latin' END) = 'latin'
+             AND md5(CAST(doc_id AS VARCHAR) || ':graft') <
+               CASE lang WHEN 'en' THEN '80000000000000000000000000000000'
+                         WHEN 'de' THEN 'g' WHEN 'es' THEN 'g' WHEN 'fr' THEN 'g' END),
+         keepers AS (
+           SELECT min(doc_id) AS doc_id FROM sampled
+           GROUP BY lower(regexp_replace(coalesce(text,''), '\s+', ' ', 'g'))),
+         corpus AS (
+           SELECT s.doc_id, s.text FROM sampled s JOIN keepers k ON s.doc_id = k.doc_id),
+         raw AS (
+           SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+           FROM corpus),
+         toks AS (SELECT doc_id, term FROM raw WHERE length(term) > 0),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM corpus),
+         scored AS (
+           SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                  round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 4) AS tfidf
+           FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         ranked AS (
+           SELECT *, CAST(row_number() OVER (
+             PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
+           FROM scored)
+         SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 3""",
     // Spark's lookaround split has no RE2 twin; equivalent closed form:
     // pieces = (# alnum runs) + (# non-alnum chars)
     "text_subword_count" ->

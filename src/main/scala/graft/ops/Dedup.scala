@@ -32,6 +32,22 @@ object Dedup {
     fp.join(groups, "fp").select(col(idCol), col("keeper"), col("group_size"))
   }
 
+  /** Keeper ROWS only — the production "drop duplicates, keep the
+    * smallest-id copy" form: ONE window pass over the content fingerprint,
+    * preserving every input column. Unlike [[exact]] (the per-doc diagnostic
+    * form: agg + self-join), this never re-evaluates its input subtree, so
+    * composing it over an expensive upstream (gates, samples, joins) costs
+    * one scan — the shape a 100 TB curation pass needs. */
+  def exactKeepers(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy(TextStats.fingerprint(coalesce(col(textCol), lit(""))))
+      .orderBy(col(idCol))
+    df.filter(col(idCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** (docId, shingle) pairs as a DataFrame via native sequence+transform —
     * char n-grams, distinct per doc. */
   def charShingleDF(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =

@@ -22,6 +22,23 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) === 4L)
   }
 
+  test("exactKeepers returns exactly the keeper rows of exact, all columns intact") {
+    val df = docs(Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "HELLO\tWORLD"),
+      (4L, "something else"), (5L, "something  ELSE")))
+    val kept = Dedup.exactKeepers(df, "doc_id", "text")
+    assert(kept.columns.toSeq === df.columns.toSeq, "must preserve the input schema")
+    val keptIds = kept.collect().map(_.getLong(0)).sorted.toSeq
+    val viaExact = Dedup.exact(df, "doc_id", "text")
+      .filter(col("doc_id") === col("keeper"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptIds === viaExact)
+    assert(keptIds === Seq(1L, 4L))
+    // single-pass shape: no join anywhere in the plan
+    val plan = kept.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), s"keeper selection must not self-join:\n$plan")
+  }
+
   test("minhash LSH clusters near-duplicate texts transitively") {
     val base = "the quick brown fox jumps over the lazy dog again and again " * 4
     val df = docs(Seq(
