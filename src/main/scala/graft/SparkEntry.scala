@@ -298,8 +298,11 @@ object SparkEntry {
       val sampled = graft.ops.Sampling.hashStratified(
         gated, "lang", "doc_id",
         Map("en" -> 0.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0), salt = "graft")
-      // single-pass keeper window (not exact's agg+self-join) so the gated
-      // scan is never re-evaluated — the QaGen r2 lesson applied forward
+      // keeper selection via exactKeepers' single window (not exact's
+      // agg+self-join, which planned the gated scan 4×). Two gated-scan
+      // executions remain — tfidf's lazy corpus-count branch plus the main
+      // branch (whose tf exchange AQE reuses) — pinned by PlanSpec's
+      // runtime-scan-count assertion; the QaGen r2 lesson applied forward
       TextStats.tfidfTopK(Dedup.exactKeepers(sampled, "doc_id", "text"),
         "doc_id", "text", k = 3)
     }),
@@ -483,6 +486,58 @@ object SparkEntry {
 
   /** DuckDB twins. Omitted keys (lsh_*, simhash_*, kg_*) are non-SQL-
     * expressible (hash-seeded or mapPartitions-kernel ops) → rows-only. */
+  // ------------------------------------------------------------------
+  // Shared oracle SQL fragments — the expressions that appear in more than
+  // one oracle live HERE once, so the parity surface (Spark op ↔ DuckDB
+  // twin) can only change in a single place. Plain concatenation, not
+  // s-interpolation: these bodies carry regex backslashes that the s
+  // interpolator would reject as invalid escapes.
+  // ------------------------------------------------------------------
+
+  /** TextStats.qualityScore's DuckDB twin (expression over `text`). */
+  private val qualityExprSql: String =
+    """round(greatest(0.0,
+       least(length(text)/500.0, 1.0)
+       * (CASE WHEN (CASE WHEN length(trim(text))=0 THEN 0.0
+            ELSE CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                 / length(string_split_regex(trim(text), '\s+')) END)
+            BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.4 END)
+       * (1.0 - least((CASE WHEN length(text)=0 THEN 0.0
+            ELSE CAST(length(text) - length(regexp_replace(text,'[.!?,;:。，！？；：]','','g')) AS DOUBLE)
+                 / length(text) END) * 4.0, 1.0) * 0.5)), 4)"""
+
+  /** TextStats.langGuess's DuckDB twin (expression over `text`). */
+  private val langGuessExprSql: String =
+    """CASE WHEN length(text)=0 THEN 'unknown'
+       WHEN CAST(length(text) - length(regexp_replace(text,'[^\x00-\x7F]','','g')) AS DOUBLE)
+            / length(text) > 0.3 THEN 'cjk'
+       ELSE 'latin' END"""
+
+  /** TextStats.fingerprint's normalization twin (exact-dedup group key). */
+  private val normTextExprSql: String =
+    """lower(regexp_replace(coalesce(text,''), '\s+', ' ', 'g'))"""
+
+  /** TextStats.tfidfTopK's DuckDB twin: CTE tail over a preceding CTE named
+    * `corpus` providing (doc_id, text). */
+  private def tfidfTailSql(k: Int): String =
+    """,
+       raw AS (
+         SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+         FROM corpus),
+       toks AS (SELECT doc_id, term FROM raw WHERE length(term) > 0),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       n AS (SELECT count(*) AS n FROM corpus),
+       scored AS (
+         SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 4) AS tfidf
+         FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+       ranked AS (
+         SELECT *, CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
+         FROM scored)
+       SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= """ + k
+
   val oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -688,13 +743,9 @@ object SparkEntry {
                    / length(string_split_regex(trim(text), '\s+')), 4) END AS mean_word_len
          FROM documents""",
     "text_lang_guess" ->
-      """SELECT lang,
-         CASE WHEN length(text)=0 THEN 'unknown'
-              WHEN CAST(length(text) - length(regexp_replace(text,'[^\x00-\x7F]','','g')) AS DOUBLE)
-                   / length(text) > 0.3 THEN 'cjk'
-              ELSE 'latin' END AS guess,
+      ("""SELECT lang, (""" + langGuessExprSql + """) AS guess,
          CAST(count(*) AS BIGINT) AS n
-         FROM documents GROUP BY 1, 2""",
+         FROM documents GROUP BY 1, 2"""),
     "text_stopword_ratio" -> {
       val sw = graft.ops.TextStats.stopwords.map(w => s"'$w'").mkString(",")
       s"""SELECT doc_id,
@@ -707,23 +758,8 @@ object SparkEntry {
           FROM documents"""
     },
     "text_tfidf_topk" ->
-      """WITH corpus AS (SELECT * FROM documents WHERE doc_id < 100),
-         raw AS (
-           SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
-           FROM corpus),
-         toks AS (SELECT doc_id, term FROM raw WHERE length(term) > 0),
-         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         n AS (SELECT count(*) AS n FROM corpus),
-         scored AS (
-           SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
-                  round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 4) AS tfidf
-           FROM tf JOIN dfreq USING (term) CROSS JOIN n),
-         ranked AS (
-           SELECT *, CAST(row_number() OVER (
-             PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
-           FROM scored)
-         SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 5""",
+      ("""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 100)""" +
+        tfidfTailSql(5)),
     "sample_stratified" ->
       """SELECT doc_id, lang, source FROM documents
          WHERE md5(CAST(doc_id AS VARCHAR) || ':graft') <
@@ -732,45 +768,19 @@ object SparkEntry {
                      WHEN 'es' THEN 'c0000000000000000000000000000000'
                      WHEN 'zh' THEN 'g' END""",
     "curation_pipeline" ->
-      """WITH sampled AS (
+      ("""WITH sampled AS (
            SELECT doc_id, text FROM documents
-           WHERE round(greatest(0.0,
-                 least(length(text)/500.0, 1.0)
-                 * (CASE WHEN (CASE WHEN length(trim(text))=0 THEN 0.0
-                      ELSE CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
-                           / length(string_split_regex(trim(text), '\s+')) END)
-                      BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.4 END)
-                 * (1.0 - least((CASE WHEN length(text)=0 THEN 0.0
-                      ELSE CAST(length(text) - length(regexp_replace(text,'[.!?,;:。，！？；：]','','g')) AS DOUBLE)
-                           / length(text) END) * 4.0, 1.0) * 0.5)), 4) >= 0.5
-             AND (CASE WHEN length(text)=0 THEN 'unknown'
-                  WHEN CAST(length(text) - length(regexp_replace(text,'[^\x00-\x7F]','','g')) AS DOUBLE)
-                       / length(text) > 0.3 THEN 'cjk'
-                  ELSE 'latin' END) = 'latin'
+           WHERE (""" + qualityExprSql + """) >= 0.5
+             AND (""" + langGuessExprSql + """) = 'latin'
              AND md5(CAST(doc_id AS VARCHAR) || ':graft') <
                CASE lang WHEN 'en' THEN '80000000000000000000000000000000'
                          WHEN 'de' THEN 'g' WHEN 'es' THEN 'g' WHEN 'fr' THEN 'g' END),
          keepers AS (
            SELECT min(doc_id) AS doc_id FROM sampled
-           GROUP BY lower(regexp_replace(coalesce(text,''), '\s+', ' ', 'g'))),
+           GROUP BY """ + normTextExprSql + """),
          corpus AS (
-           SELECT s.doc_id, s.text FROM sampled s JOIN keepers k ON s.doc_id = k.doc_id),
-         raw AS (
-           SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
-           FROM corpus),
-         toks AS (SELECT doc_id, term FROM raw WHERE length(term) > 0),
-         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         n AS (SELECT count(*) AS n FROM corpus),
-         scored AS (
-           SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
-                  round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 4) AS tfidf
-           FROM tf JOIN dfreq USING (term) CROSS JOIN n),
-         ranked AS (
-           SELECT *, CAST(row_number() OVER (
-             PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
-           FROM scored)
-         SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 3""",
+           SELECT s.doc_id, s.text FROM sampled s JOIN keepers k ON s.doc_id = k.doc_id)""" +
+        tfidfTailSql(3)),
     // Spark's lookaround split has no RE2 twin; equivalent closed form:
     // pieces = (# alnum runs) + (# non-alnum chars)
     "text_subword_count" ->
@@ -780,29 +790,19 @@ object SparkEntry {
             - length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) AS subwords
          FROM documents""",
     "text_quality_score" ->
-      """SELECT doc_id, round(greatest(0.0,
-         least(length(text)/500.0, 1.0)
-         * (CASE WHEN (CASE WHEN length(trim(text))=0 THEN 0.0
-              ELSE CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
-                   / length(string_split_regex(trim(text), '\s+')) END)
-              BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.4 END)
-         * (1.0 - least((CASE WHEN length(text)=0 THEN 0.0
-              ELSE CAST(length(text) - length(regexp_replace(text,'[.!?,;:。，！？；：]','','g')) AS DOUBLE)
-                   / length(text) END) * 4.0, 1.0) * 0.5)), 4) AS quality
-         FROM documents""",
+      ("""SELECT doc_id, """ + qualityExprSql + """ AS quality FROM documents"""),
     "dedup_exact_groups" ->
       """SELECT lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm,
          min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS group_size
          FROM documents GROUP BY 1""",
     "dedup_exact_keeper" ->
-      """WITH g AS (
-           SELECT lower(regexp_replace(coalesce(text,''), '\s+', ' ', 'g')) AS norm,
-                  min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS group_size
-           FROM documents WHERE doc_id IS NOT NULL GROUP BY 1)
-         SELECT d.doc_id, g.keeper, g.group_size
-         FROM documents d
-         JOIN g ON lower(regexp_replace(coalesce(d.text,''), '\s+', ' ', 'g')) = g.norm
-         WHERE d.doc_id IS NOT NULL""",
+      ("""WITH f AS (
+           SELECT doc_id, """ + normTextExprSql + """ AS norm
+           FROM documents WHERE doc_id IS NOT NULL),
+         g AS (
+           SELECT norm, min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS group_size
+           FROM f GROUP BY 1)
+         SELECT f.doc_id, g.keeper, g.group_size FROM f JOIN g USING (norm)"""),
     "dedup_ngram_jaccard" ->
       """WITH raw AS (
            SELECT doc_id, unnest(list_transform(

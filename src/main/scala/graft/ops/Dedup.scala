@@ -39,13 +39,16 @@ object Dedup {
     * composing it over an expensive upstream (gates, samples, joins) costs
     * one scan — the shape a 100 TB curation pass needs. */
   def exactKeepers(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val w = Window
       .partitionBy(TextStats.fingerprint(coalesce(col(textCol), lit(""))))
       .orderBy(col(idCol))
+    // collision-free temp name: an input column literally named __rn must
+    // survive (the contract preserves every input column)
+    val rn = Iterator.from(0).map(i => s"__rn$i")
+      .find(n => !df.columns.contains(n)).get
     df.filter(col(idCol).isNotNull)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+      .withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1).drop(rn)
   }
 
   /** (docId, shingle) pairs as a DataFrame via native sequence+transform —

@@ -94,6 +94,34 @@ class PlanSpec extends SparkSpec {
       s"expected <= 2 shuffles (agg + shared run key), got ${exchanges.size}:\n${plan.toString.take(2000)}")
   }
 
+  test("curation pipeline: gates fuse into one scan-side filter; runtime executes two scans") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("curation_pipeline")(spark, "/root/testdata/sf0.001")
+    // (a) static: quality + script + sampling predicates land in a SINGLE
+    // Filter directly over the relation — no shuffle before any gate
+    val fusedGate = df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.child.isInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation] =>
+        f.condition.sql
+    }
+    assert(fusedGate.exists(c =>
+      c.contains("md5(") && c.contains("0.5") && c.toLowerCase.contains("x7f")),
+      s"expected one scan-side filter carrying all three gates, got:\n${fusedGate.mkString("\n---\n")}")
+    // (b) runtime: the finalized adaptive plan executes the gated scan
+    // TWICE (tfidf's lazy corpus-count branch + the main branch) with the
+    // duplicated tf exchange collapsed by AQE stage reuse — NOT the 4 scans
+    // the agg+self-join keeper form planned
+    df.collect()
+    val fin = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val s = fin.toString
+    val scans = "Scan parquet".r.findAllIn(s).size
+    assert(scans <= 2, s"gated scan must execute at most twice, saw $scans:\n${s.take(2000)}")
+    assert(s.contains("ReusedExchange"), "expected AQE to reuse the duplicated tf exchange")
+  }
+
   test("whole-stage codegen covers the relational prep before the barrier") {
     import org.apache.spark.sql.execution.WholeStageCodegenExec
     val pages = spark.read.parquet(pagesDir)
