@@ -96,5 +96,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("decode_bio_spans"),
       new ExpressionInfo(classOf[DecodeBioSpans].getName, "decode_bio_spans"),
       (children: Seq[Expression]) => DecodeBioSpans(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("lang_ngram_guess"),
+      new ExpressionInfo(classOf[LangNgramGuess].getName, "lang_ngram_guess"),
+      (children: Seq[Expression]) => LangNgramGuess(children.head)))
   }
 }

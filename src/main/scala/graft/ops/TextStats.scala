@@ -240,16 +240,16 @@ object TextStats {
   }
 
   /** DataFrame face of [[langNgramGuess]]: adds `lang_guess` next to the
-    * projected columns (profiles are a per-JVM constant; one mapPartitions,
-    * no shuffle). */
+    * projected columns. Backed by the native codegen expression
+    * ([[graft.functions.LangNgramGuess]]) — the earlier `mapPartitions`
+    * form split the stage and deserialized every in-flight column; this
+    * stays inside whole-stage codegen. Null text scores "unknown", as the
+    * plain-Scala scorer does. */
   def withLangNgram(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+    graft.functions.LangNgramGuess.register(df.sparkSession)
     df.filter(col(idCol).isNotNull)
-      .select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .mapPartitions(_.map { case (id, t) => (id, langNgramGuess(t)) })
-      .toDF(idCol, "lang_guess")
+      .select(col(idCol).cast("long").as(idCol),
+        coalesce(expr(s"lang_ngram_guess($textCol)"), lit("unknown")).as("lang_guess"))
   }
 }
