@@ -371,6 +371,15 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
     }),
+    // WARC/WET first-mile ingestion (rows-only: parses a deterministic
+    // seeded .wet fixture written at query time — no DuckDB twin for the
+    // lineSep record split)
+    "warc_wet_ingest" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-wet-q").toString
+      graft.sources.WarcIngest.writeWetFixture(tmp, n = 600, seed = 29)
+      graft.sources.WarcIngest.readWet(s, tmp)
+        .select(col("url"), col("warc_ts"), length(col("text")).as("text_len"), col("lang"))
+    }),
     "mm_media_meta" -> ((s, dir) =>
       graft.multimodal.Media.metaTable(graft.multimodal.Media.corpus(s, 400, seed = 3))),
     "mm_frame_sample" -> ((s, dir) =>
