@@ -78,6 +78,16 @@ class WarcIngestSpec extends SparkSpec {
     assert(r(0).isNullAt(3) && r(0).isNullAt(4))
   }
 
+  test("WET output feeds the extractor directly: the input_hint schema contract holds") {
+    val dir = Files.createTempDirectory("graft-wet-x").toString
+    WarcIngest.writeWetFixture(dir, n = 10, seed = 4)
+    val pages = WarcIngest.readWet(spark, dir)
+    // the whole point of the first mile: no adapter between ingestion and
+    // extraction — analyze + execute must succeed on the parsed frame
+    val triples = graft.pipeline.Extract.triples(pages)
+    assert(triples.count() >= 0) // synthetic latin bodies: typically zero triples
+  }
+
   test("multi-file reads parallelize and agree with the single-file parse") {
     val dir = Files.createTempDirectory("graft-wet-p").toString
     WarcIngest.writeWetFixture(dir, n = 25, seed = 1)
