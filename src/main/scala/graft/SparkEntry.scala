@@ -375,7 +375,9 @@ object SparkEntry {
     // seeded .wet fixture written at query time — no DuckDB twin for the
     // lineSep record split)
     "warc_wet_ingest" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-wet-q").toString
+      // fixture under the shutdown-cleaned process scratch (idempotent path:
+      // repeat invocations in one JVM reuse the file, nothing leaks in /tmp)
+      val tmp = s"$processScratchRoot/wetq"
       graft.sources.WarcIngest.writeWetFixture(tmp, n = 600, seed = 29)
       graft.sources.WarcIngest.readWet(s, tmp)
         .select(col("url"), col("warc_ts"), length(col("text")).as("text_len"), col("lang"))

@@ -248,8 +248,10 @@ object TextStats {
   def withLangNgram(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     graft.functions.LangNgramGuess.register(df.sparkSession)
+    // backtick-quote: a caller's column name must never parse as SQL
+    // (col(textCol) accepted any name; `a-b` unquoted would subtract)
     df.filter(col(idCol).isNotNull)
       .select(col(idCol).cast("long").as(idCol),
-        coalesce(expr(s"lang_ngram_guess($textCol)"), lit("unknown")).as("lang_guess"))
+        coalesce(expr(s"lang_ngram_guess(`$textCol`)"), lit("unknown")).as("lang_guess"))
   }
 }

@@ -17,70 +17,109 @@ import org.apache.spark.sql.functions._
   * native string expressions — the whole parse stays inside codegen; no
   * UDF, no mapPartitions.
   *
-  * Known caveat of delimiter splitting (documented, not hidden): a payload
-  * containing the literal token `WARC/1.0` would split mid-record; the
-  * subsequent header filter drops both fragments rather than emitting a
-  * corrupt row (robust framing for adversarial payloads needs a custom
-  * Content-Length-driven InputFormat).
+  * Framing correctness: Content-Length counts BYTES; the body is sliced by
+  * casting to binary and byte-substring-ing, then cast back — a character
+  * substring would over-read every non-ASCII body (CJK text, this engine's
+  * own target) and drag record-separator junk into `text`. Header offsets
+  * may be taken in characters because the WARC header block is ASCII (URIs
+  * are percent-encoded); a record violating that shifts its own body only.
+  *
+  * Documented limits (honest, not hidden):
+  *  - a payload containing the literal token `WARC/1.0` splits mid-record;
+  *    the header filter drops both fragments rather than emitting a corrupt
+  *    row (adversarial framing needs a Content-Length-driven InputFormat);
+  *  - the scan decodes UTF-8, so [[readWarcHtml]] is byte-exact only for
+  *    ASCII/UTF-8 payloads — other charsets or compressed bodies arrive
+  *    with replacement characters and need a byte-level reader.
   */
 object WarcIngest {
 
-  private def header(rec: Column, name: String): Column = {
-    val v = regexp_extract(rec, name + ": ([^\r\n]+)", 1)
+  /** Header lookup, anchored to line starts WITHIN the header block only —
+    * an unanchored whole-record regex would resurrect fields from body text
+    * that quotes WARC material (real in Common Crawl) or match
+    * `X-WARC-Date:` as `WARC-Date:`. */
+  private def header(hdrCol: String, name: String): Column = {
+    val v = regexp_extract(col(hdrCol), "(?m)^" + name + ": ([^\r\n]+)", 1)
     when(length(v) > 0, v)
   }
 
-  /** Content-Length-framed record body: the bytes after the first blank
-    * line (CRLF per the WARC spec; a bare-LF fallback keeps hand-made
-    * fixtures working). */
-  private def bodyExpr(recCol: String): Column = {
-    // substring with a column start/len needs the SQL form (the Scala
-    // `substring` overload takes literals only)
-    val crlf = s"locate('\r\n\r\n', $recCol)"
-    val lf = s"locate('\n\n', $recCol)"
-    val start = s"(CASE WHEN $crlf > 0 THEN $crlf + 4 WHEN $lf > 0 THEN $lf + 2 END)"
+  /** The pre-blank-line header block (CRLF per spec; bare-LF fallback for
+    * hand-made fixtures), and the 1-based char offset where the body
+    * starts. The header block is ASCII ⇒ char offsets == byte offsets up to
+    * the body start. */
+  private val hdrBlockSql =
+    "(CASE WHEN locate('\r\n\r\n', value) > 0 THEN substring(value, 1, locate('\r\n\r\n', value) - 1) " +
+      "WHEN locate('\n\n', value) > 0 THEN substring(value, 1, locate('\n\n', value) - 1) " +
+      "ELSE value END)"
+  private val bodyStartSql =
+    "(CASE WHEN locate('\r\n\r\n', value) > 0 THEN locate('\r\n\r\n', value) + 4 " +
+      "WHEN locate('\n\n', value) > 0 THEN locate('\n\n', value) + 2 END)"
+
+  /** Content-Length-framed record body: `len` BYTES from the body start —
+    * binary substring, then back to string (see object doc). */
+  private val bodySql = {
     // try_cast: regexp_extract's no-match '' (or an absurd length) must
     // yield null under ANSI mode, not throw
-    val len = s"try_cast(regexp_extract($recCol, 'Content-Length: ([0-9]+)', 1) AS INT)"
-    expr(s"CASE WHEN $start IS NOT NULL AND $len IS NOT NULL " +
-      s"THEN substring($recCol, $start, $len) END")
+    val len = "try_cast(regexp_extract(__hdr, '(?m)^Content-Length: ([0-9]+)', 1) AS INT)"
+    s"CASE WHEN __start IS NOT NULL AND $len IS NOT NULL " +
+      s"THEN CAST(substring(CAST(substring(value, __start) AS BINARY), 1, $len) AS STRING) END"
   }
 
-  /** One row per WARC record of the archives under `path` (raw text form,
-    * pre-filter) — the shared scan for [[readWet]] / [[readWarcHtml]]. */
+  /** One row per WARC record of the archives under `path`, with the header
+    * block, body start, and framed body pre-split — the shared scan for
+    * [[readWet]] / [[readWarcHtml]]. */
   def records(spark: SparkSession, path: String): DataFrame =
     spark.read.option("lineSep", "WARC/1.0").text(path)
       .filter(col("value").contains("WARC-Type: "))
+      .withColumn("__hdr", expr(hdrBlockSql))
+      .withColumn("__start", expr(bodyStartSql))
+      .withColumn("__body", expr(bodySql))
+
+  /** The common ISO-639-3 tags Common Crawl emits, mapped to the engine's
+    * 2-letter pages codes (`synth/Corpus` and `Extract.prepare`'s lang
+    * filter use "zh"/"en"/…); unlisted tags pass through verbatim so no
+    * information is dropped. */
+  private val iso3to2: Map[String, String] = Map(
+    "eng" -> "en", "deu" -> "de", "ger" -> "de", "fra" -> "fr", "fre" -> "fr",
+    "spa" -> "es", "zho" -> "zh", "chi" -> "zh", "cmn" -> "zh", "por" -> "pt",
+    "ita" -> "it", "nld" -> "nl", "rus" -> "ru", "jpn" -> "ja", "kor" -> "ko",
+    "ara" -> "ar", "hin" -> "hi", "pol" -> "pl", "tur" -> "tr", "vie" -> "vi")
+
+  private def normLang(tag: Column): Column = {
+    val m = typedlit(iso3to2)
+    coalesce(element_at(m, tag), tag)
+  }
 
   /** WET text-conversion records → pages rows with `text` populated and
-    * `html` null. `lang` comes from WARC-Identified-Content-Language when
-    * present (first tag), else null. */
+    * `html` null. `lang` = first WARC-Identified-Content-Language tag,
+    * normalized to the engine's 2-letter codes (so ingest → extract
+    * composes without an adapter); null when absent. */
   def readWet(spark: SparkSession, path: String): DataFrame =
     records(spark, path)
       .filter(col("value").contains("WARC-Type: conversion"))
       .select(
-        header(col("value"), "WARC-Target-URI").as("url"),
-        to_timestamp(header(col("value"), "WARC-Date")).as("warc_ts"),
+        header("__hdr", "WARC-Target-URI").as("url"),
+        to_timestamp(header("__hdr", "WARC-Date")).as("warc_ts"),
         lit(null).cast("binary").as("html"),
-        bodyExpr("value").as("text"),
-        split(header(col("value"), "WARC-Identified-Content-Language"), ",")
-          .getItem(0).as("lang"))
+        col("__body").as("text"),
+        normLang(split(header("__hdr", "WARC-Identified-Content-Language"), ",")
+          .getItem(0)).as("lang"))
       .filter(col("url").isNotNull)
 
   /** WARC response records → pages rows with `html` populated (the HTTP
-    * payload after the response-header blank line) and `text` null. */
+    * payload after the response-header blank line) and `text` null. Exact
+    * for ASCII/UTF-8 payloads only — see the object doc's limits. */
   def readWarcHtml(spark: SparkSession, path: String): DataFrame = {
-    val rec = records(spark, path)
-      .filter(col("value").contains("WARC-Type: response"))
-      .withColumn("__body", bodyExpr("value"))
     // the record body is an HTTP response: strip ITS header block the same
     // way (payload after the body's first blank line; whole body if none —
     // some archives store bare payloads)
     val crlf = "locate('\r\n\r\n', __body)"
     val lf = "locate('\n\n', __body)"
-    rec.select(
-        header(col("value"), "WARC-Target-URI").as("url"),
-        to_timestamp(header(col("value"), "WARC-Date")).as("warc_ts"),
+    records(spark, path)
+      .filter(col("value").contains("WARC-Type: response"))
+      .select(
+        header("__hdr", "WARC-Target-URI").as("url"),
+        to_timestamp(header("__hdr", "WARC-Date")).as("warc_ts"),
         expr(s"CASE WHEN $crlf > 0 THEN substring(__body, $crlf + 4) " +
           s"WHEN $lf > 0 THEN substring(__body, $lf + 2) ELSE __body END")
           .cast("binary").as("html"),
@@ -90,14 +129,14 @@ object WarcIngest {
   }
 
   // ------------------------------------------------------------------
-  // Deterministic WET fixture writer (tests + the rows-only driver query):
-  // spec-shaped records, CRLF framing, exact Content-Length.
+  // Deterministic WET fixture writers (tests + the rows-only driver query):
+  // spec-shaped records, CRLF framing, exact byte Content-Length.
   // ------------------------------------------------------------------
 
-  /** Write `n` seeded WET conversion records (plus a warcinfo preamble) as
-    * one .wet file under `dir`; returns the file path. Bodies reuse the
-    * deterministic synth corpus text so parses are reproducible. */
-  def writeWetFixture(dir: String, n: Int, seed: Long): String = {
+  /** Write explicit records as one .wet file under `dir`:
+    * `(url, isoLangTag, bodyText)` triples. Returns the file path. */
+  def writeWetRecords(dir: String, fileName: String,
+      recs: Seq[(String, String, String)]): String = {
     val sb = new StringBuilder
     def record(tpe: String, headers: Seq[(String, String)], bodyText: String): Unit = {
       val bytes = bodyText.getBytes("UTF-8")
@@ -111,21 +150,29 @@ object WarcIngest {
     }
     record("warcinfo", Seq("WARC-Date" -> "2026-01-01T00:00:00Z"),
       "software: graft-fixture")
-    val rng = new scala.util.Random(seed)
-    val langs = Seq("eng", "deu", "fra", "spa", "zho")
-    var i = 0
-    while (i < n) {
-      val words = Seq.fill(5 + rng.nextInt(40))(s"w${rng.nextInt(500)}")
+    recs.zipWithIndex.foreach { case ((url, lang, body), i) =>
       record("conversion", Seq(
-        "WARC-Target-URI" -> f"https://synth.test/wet/$seed%d/$i%08d",
+        "WARC-Target-URI" -> url,
         "WARC-Date" -> f"2026-01-02T${i % 24}%02d:00:00Z",
-        "WARC-Identified-Content-Language" -> langs(rng.nextInt(langs.length))),
-        words.mkString(" "))
-      i += 1
+        "WARC-Identified-Content-Language" -> lang),
+        body)
     }
-    val p = java.nio.file.Paths.get(dir, s"fixture-$seed.wet")
+    val p = java.nio.file.Paths.get(dir, fileName)
     java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.write(p, sb.toString.getBytes("UTF-8"))
     p.toString
+  }
+
+  /** Write `n` seeded WET conversion records (plus a warcinfo preamble) as
+    * one .wet file under `dir`; returns the file path. */
+  def writeWetFixture(dir: String, n: Int, seed: Long): String = {
+    val rng = new scala.util.Random(seed)
+    val langs = Seq("eng", "deu", "fra", "spa", "zho")
+    val recs = (0 until n).map { i =>
+      val words = Seq.fill(5 + rng.nextInt(40))(s"w${rng.nextInt(500)}")
+      (f"https://synth.test/wet/$seed%d/$i%08d",
+        langs(rng.nextInt(langs.length)), words.mkString(" "))
+    }
+    writeWetRecords(dir, s"fixture-$seed.wet", recs)
   }
 }

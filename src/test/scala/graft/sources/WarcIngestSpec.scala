@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** WARC/WET ingestion — golden parse, Content-Length framing, malformed
-  * tolerance, and partitioning invariance. */
+/** WARC/WET ingestion — golden parse, byte-exact Content-Length framing,
+  * header-block anchoring, malformed tolerance, lang normalization, and a
+  * real composition check against direct extraction. */
 class WarcIngestSpec extends SparkSpec {
 
   test("WET fixture round-trips: every record parsed, fields exact") {
@@ -22,7 +23,8 @@ class WarcIngestSpec extends SparkSpec {
     assert(rows.forall(_.isNullAt(2)), "WET rows carry no html")
     assert(rows.forall(r => r.getString(3).startsWith("w") && !r.getString(3).endsWith("\n")),
       "body must be Content-Length framed (no trailing record separator)")
-    assert(rows.forall(r => Seq("eng", "deu", "fra", "spa", "zho").contains(r.getString(4))))
+    // ISO-639-3 tags from the crawl normalize to the engine's 2-letter codes
+    assert(rows.map(_.getString(4)).toSet === Set("en", "de", "fr", "es", "zh"))
   }
 
   test("a hand-written golden record parses byte-exactly") {
@@ -44,6 +46,43 @@ class WarcIngestSpec extends SparkSpec {
     assert(r(0).isNullAt(4), "no language header -> null lang")
   }
 
+  test("Content-Length frames BYTES: non-ASCII bodies carry no separator junk") {
+    val dir = Files.createTempDirectory("graft-wet-b").toString
+    val cjk = "胸部CT检查所见：两肺未见异常密度影。"
+    val umlaut = "schön ist das Wetter draußen heute"
+    WarcIngest.writeWetRecords(dir, "cjk.wet", Seq(
+      ("https://x/cjk", "zho", cjk), ("https://x/de", "deu", umlaut)))
+    val got = WarcIngest.readWet(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    // a char-counted substring would append "\r\n\r\n" (and worse) here
+    assert(got("https://x/cjk") === cjk)
+    assert(got("https://x/de") === umlaut)
+  }
+
+  test("header lookup anchors to the header block: body-quoted WARC headers cannot inject") {
+    val dir = Files.createTempDirectory("graft-wet-i").toString
+    // record with NO URI whose body quotes one: must DROP, not resurrect
+    val evilBody = "quoted material:\nWARC-Target-URI: http://spam.example/\nend"
+    val evilBytes = evilBody.getBytes("UTF-8")
+    val rec = "WARC/1.0\r\n" +
+      "WARC-Type: conversion\r\n" +
+      "WARC-Date: 2026-03-04T05:06:07Z\r\n" +
+      s"Content-Length: ${evilBytes.length}\r\n" +
+      "\r\n" + evilBody + "\r\n\r\n" +
+      // and an X-prefixed header must not match as WARC-Date
+      "WARC/1.0\r\n" +
+      "WARC-Type: conversion\r\n" +
+      "WARC-Target-URI: https://x/ok\r\n" +
+      "X-WARC-Date: 1999-01-01T00:00:00Z\r\n" +
+      "Content-Length: 2\r\n" +
+      "\r\nok\r\n\r\n"
+    Files.write(java.nio.file.Paths.get(dir, "i.wet"), rec.getBytes("UTF-8"))
+    val rows = WarcIngest.readWet(spark, dir).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getString(0) === "https://x/ok")
+    assert(rows(0).isNullAt(1), "X-WARC-Date must not parse as WARC-Date")
+  }
+
   test("malformed records (no URI, no blank line, no length) drop instead of corrupting") {
     val dir = Files.createTempDirectory("graft-wet-m").toString
     val junk = "WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: 4\r\n\r\nbody\r\n\r\n" + // no URI
@@ -53,7 +92,6 @@ class WarcIngestSpec extends SparkSpec {
       "WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: 2\r\n\r\nokrest\r\n\r\n"
     Files.write(java.nio.file.Paths.get(dir, "m.wet"), junk.getBytes("UTF-8"))
     val rows = WarcIngest.readWet(spark, dir).collect()
-    // record 1 drops (null url); 2 and 3 survive with null text (unframeable)
     val byUrl = rows.map(r => r.getString(0) -> (if (r.isNullAt(3)) null else r.getString(3))).toMap
     assert(!byUrl.contains(null))
     assert(byUrl("https://x/3") === "ok", "Content-Length 2 must take exactly 2 chars")
@@ -78,14 +116,27 @@ class WarcIngestSpec extends SparkSpec {
     assert(r(0).isNullAt(3) && r(0).isNullAt(4))
   }
 
-  test("WET output feeds the extractor directly: the input_hint schema contract holds") {
+  test("ingest → extract equals direct extraction on real zh documents") {
+    import graft.synth.Corpus
     val dir = Files.createTempDirectory("graft-wet-x").toString
-    WarcIngest.writeWetFixture(dir, n = 10, seed = 4)
-    val pages = WarcIngest.readWet(spark, dir)
-    // the whole point of the first mile: no adapter between ingestion and
-    // extraction — analyze + execute must succeed on the parsed frame
-    val triples = graft.pipeline.Extract.triples(pages)
-    assert(triples.count() >= 0) // synthetic latin bodies: typically zero triples
+    val d1 = Corpus.buildDoc(1, seed = 77, noisyFrac = 0.0)
+    val d2 = Corpus.buildDoc(2, seed = 77, noisyFrac = 0.0)
+    // crawl-realistic 3-letter tags; the reader normalizes to "zh"
+    WarcIngest.writeWetRecords(dir, "zh.wet", Seq(
+      (d1.page.url, "zho", d1.page.text), (d2.page.url, "cmn", d2.page.text)))
+    val viaWet = graft.pipeline.Extract.triples(WarcIngest.readWet(spark, dir))
+      .collect().toSet
+    import spark.implicits._
+    val direct = graft.pipeline.Extract.triples(
+      Seq((d1.page.url, d1.page.text, "zh"), (d2.page.url, d2.page.text, "zh"))
+        .toDF("url", "text", "lang"))
+      .collect().toSet
+    assert(viaWet.nonEmpty, "fixture docs must carry extractable triples")
+    assert(viaWet === direct,
+      "WET ingestion must be a transparent first mile: identical triples")
+    val langs = WarcIngest.readWet(spark, dir).select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(langs === Set("zh"), "3-letter crawl tags must normalize to the engine code")
   }
 
   test("multi-file reads parallelize and agree with the single-file parse") {
