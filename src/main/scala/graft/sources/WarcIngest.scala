@@ -65,15 +65,26 @@ object WarcIngest {
       s"THEN CAST(substring(CAST(substring(value, __start) AS BINARY), 1, $len) AS STRING) END"
   }
 
+  /** Record split + framing over an already-read raw text frame (one
+    * `value` row per lineSep chunk) — shared by the batch and streaming
+    * faces. */
+  private def frame(raw: DataFrame): DataFrame =
+    raw.filter(col("value").contains("WARC-Type: "))
+      .withColumn("__hdr", expr(hdrBlockSql))
+      .withColumn("__start", expr(bodyStartSql))
+      .withColumn("__body", expr(bodySql))
+
   /** One row per WARC record of the archives under `path`, with the header
     * block, body start, and framed body pre-split — the shared scan for
     * [[readWet]] / [[readWarcHtml]]. */
   def records(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("lineSep", "WARC/1.0").text(path)
-      .filter(col("value").contains("WARC-Type: "))
-      .withColumn("__hdr", expr(hdrBlockSql))
-      .withColumn("__start", expr(bodyStartSql))
-      .withColumn("__body", expr(bodySql))
+    frame(spark.read.option("lineSep", "WARC/1.0").text(path))
+
+  /** Streaming twin of [[records]]: new archive files landing under `path`
+    * are split incrementally (file-source checkpointing gives exactly-once
+    * per file — the monthly-crawl-drop catch-up pattern). */
+  def recordsStream(spark: SparkSession, path: String): DataFrame =
+    frame(spark.readStream.option("lineSep", "WARC/1.0").text(path))
 
   /** The common ISO-639-3 tags Common Crawl emits, mapped to the engine's
     * 2-letter pages codes (`synth/Corpus` and `Extract.prepare`'s lang
@@ -90,13 +101,8 @@ object WarcIngest {
     coalesce(element_at(m, tag), tag)
   }
 
-  /** WET text-conversion records → pages rows with `text` populated and
-    * `html` null. `lang` = first WARC-Identified-Content-Language tag,
-    * normalized to the engine's 2-letter codes (so ingest → extract
-    * composes without an adapter); null when absent. */
-  def readWet(spark: SparkSession, path: String): DataFrame =
-    records(spark, path)
-      .filter(col("value").contains("WARC-Type: conversion"))
+  private def wetProjection(recs: DataFrame): DataFrame =
+    recs.filter(col("value").contains("WARC-Type: conversion"))
       .select(
         header("__hdr", "WARC-Target-URI").as("url"),
         to_timestamp(header("__hdr", "WARC-Date")).as("warc_ts"),
@@ -105,6 +111,19 @@ object WarcIngest {
         normLang(split(header("__hdr", "WARC-Identified-Content-Language"), ",")
           .getItem(0)).as("lang"))
       .filter(col("url").isNotNull)
+
+  /** WET text-conversion records → pages rows with `text` populated and
+    * `html` null. `lang` = first WARC-Identified-Content-Language tag,
+    * normalized to the engine's 2-letter codes (so ingest → extract
+    * composes without an adapter); null when absent. */
+  def readWet(spark: SparkSession, path: String): DataFrame =
+    wetProjection(records(spark, path))
+
+  /** Streaming WET ingestion: the same projection over [[recordsStream]] —
+    * each new `.wet`/`.warc.wet` drop is parsed once and flows into any
+    * downstream streaming graph (e.g. `StreamExtract.triples`). */
+  def readWetStream(spark: SparkSession, path: String): DataFrame =
+    wetProjection(recordsStream(spark, path))
 
   /** WARC response records → pages rows with `html` populated (the HTTP
     * payload after the response-header blank line) and `text` null. Exact

@@ -139,6 +139,37 @@ class WarcIngestSpec extends SparkSpec {
     assert(langs === Set("zh"), "3-letter crawl tags must normalize to the engine code")
   }
 
+  test("streaming WET ingestion catches up incrementally and matches the batch parse") {
+    val root = Files.createTempDirectory("graft-wet-s").toString
+    val in = root + "/drop"
+    val ckpt = root + "/ckpt"
+    val out = root + "/out"
+    WarcIngest.writeWetFixture(in, n = 15, seed = 5)
+    def runOnce(): Unit = {
+      // file sink, not memory: the memory sink cannot recover a checkpoint,
+      // and checkpointed catch-up IS the behavior under test
+      val q = WarcIngest.readWetStream(spark, in)
+        .select("url", "lang")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() === 15)
+    // a second drop: only the NEW file is processed on restart
+    WarcIngest.writeWetFixture(in, n = 10, seed = 6)
+    runOnce()
+    val all = spark.read.parquet(out).select("url").collect().map(_.getString(0)).toSeq
+    assert(all.length === 25, "checkpoint must skip the already-ingested file")
+    assert(all.distinct.length === 25)
+    val batch = WarcIngest.readWet(spark, in).select("url").collect()
+      .map(_.getString(0)).toSeq
+    assert(all.sorted === batch.sorted, "stream and batch parses must agree")
+  }
+
   test("multi-file reads parallelize and agree with the single-file parse") {
     val dir = Files.createTempDirectory("graft-wet-p").toString
     WarcIngest.writeWetFixture(dir, n = 25, seed = 1)
