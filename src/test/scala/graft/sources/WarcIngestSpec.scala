@@ -170,6 +170,22 @@ class WarcIngestSpec extends SparkSpec {
     assert(all.sorted === batch.sorted, "stream and batch parses must agree")
   }
 
+  test("a single large archive splits across tasks without losing boundary records") {
+    val dir = Files.createTempDirectory("graft-wet-big").toString
+    WarcIngest.writeWetFixture(dir, n = 2000, seed = 8)
+    val saved = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      val got = WarcIngest.readWet(spark, dir)
+      val parts = got.rdd.getNumPartitions
+      assert(parts > 4, s"a ~${new java.io.File(dir).listFiles()(0).length / 1024}KB file " +
+        s"at 64KB splits should read in many tasks, got $parts")
+      val urls = got.select("url").collect().map(_.getString(0)).toSeq
+      assert(urls.length === 2000, "records straddling split boundaries must not drop")
+      assert(urls.distinct.length === 2000, "…or duplicate")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
+  }
+
   test("multi-file reads parallelize and agree with the single-file parse") {
     val dir = Files.createTempDirectory("graft-wet-p").toString
     WarcIngest.writeWetFixture(dir, n = 25, seed = 1)
