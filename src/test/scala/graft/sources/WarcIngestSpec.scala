@@ -170,6 +170,35 @@ class WarcIngestSpec extends SparkSpec {
     assert(all.sorted === batch.sorted, "stream and batch parses must agree")
   }
 
+  test("streaming first mile end-to-end: WET drop → streaming extraction → triples") {
+    import graft.synth.Corpus
+    val root = Files.createTempDirectory("graft-wet-e2e").toString
+    val in = root + "/drop"
+    val d1 = Corpus.buildDoc(5, seed = 31, noisyFrac = 0.0)
+    val d2 = Corpus.buildDoc(6, seed = 31, noisyFrac = 0.0)
+    WarcIngest.writeWetRecords(in, "drop1.wet", Seq(
+      (d1.page.url, "zho", d1.page.text), (d2.page.url, "cmn", d2.page.text)))
+    // the SAME extractor graph the batch pipeline uses, fed by the streaming
+    // WET source — no adapter anywhere between archive bytes and triples
+    val q = graft.streaming.StreamExtract.triples(WarcIngest.readWetStream(spark, in))
+      .toDF()
+      .writeStream.format("parquet")
+      .option("path", root + "/triples")
+      .option("checkpointLocation", root + "/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val streamed = spark.read.parquet(root + "/triples").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    import spark.implicits._
+    val direct = graft.pipeline.Extract.triples(
+      Seq((d1.page.url, d1.page.text, "zh"), (d2.page.url, d2.page.text, "zh"))
+        .toDF("url", "text", "lang")).toDF().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(streamed.nonEmpty && streamed === direct,
+      "archive → streaming extraction must emit exactly the batch triples")
+  }
+
   test("a single large archive splits across tasks without losing boundary records") {
     val dir = Files.createTempDirectory("graft-wet-big").toString
     WarcIngest.writeWetFixture(dir, n = 2000, seed = 8)
