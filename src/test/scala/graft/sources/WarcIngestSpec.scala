@@ -170,6 +170,27 @@ class WarcIngestSpec extends SparkSpec {
     assert(all.sorted === batch.sorted, "stream and batch parses must agree")
   }
 
+  test("fuzz: 100 random unicode bodies round-trip byte-exactly") {
+    val dir = Files.createTempDirectory("graft-wet-f").toString
+    val rnd = new scala.util.Random(20260817L)
+    val alphabet: IndexedSeq[String] = IndexedSeq(
+      "a", "Z", "9", " ", "\t", "\n", "\r\n", "é", "ß", "中", "文", "。",
+      "，", "🙂", " ", "́" /* combining accent */, "…", "\"", "'")
+    val recs = (0 until 100).map { i =>
+      // any body is legal except one containing the record delimiter
+      // (documented split limit); empty bodies included
+      val body = Seq.fill(rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      (s"https://fuzz.test/$i", "eng", body)
+    }
+    WarcIngest.writeWetRecords(dir, "fuzz.wet", recs)
+    val got = WarcIngest.readWet(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    recs.foreach { case (url, _, body) =>
+      assert(got(url) === body,
+        s"byte framing must survive arbitrary unicode; url=$url body=${body.take(40)}…")
+    }
+  }
+
   test("streaming first mile end-to-end: WET drop → streaming extraction → triples") {
     import graft.synth.Corpus
     val root = Files.createTempDirectory("graft-wet-e2e").toString
