@@ -375,8 +375,9 @@ object SparkEntry {
     // seeded .wet fixture written at query time — no DuckDB twin for the
     // lineSep record split)
     "warc_wet_ingest" -> ((s, dir) => {
-      // fixture under the shutdown-cleaned process scratch (idempotent path:
-      // repeat invocations in one JVM reuse the file, nothing leaks in /tmp)
+      // fixture under the shutdown-cleaned process scratch; the (n, seed)-
+      // keyed writer returns an existing file untouched, so repeat
+      // invocations in one JVM genuinely reuse it and nothing leaks in /tmp
       val tmp = s"$processScratchRoot/wetq"
       graft.sources.WarcIngest.writeWetFixture(tmp, n = 600, seed = 29)
       graft.sources.WarcIngest.readWet(s, tmp)

@@ -45,15 +45,21 @@ object WarcIngest {
 
   /** The pre-blank-line header block (CRLF per spec; bare-LF fallback for
     * hand-made fixtures), and the 1-based char offset where the body
-    * starts. The header block is ASCII ⇒ char offsets == byte offsets up to
-    * the body start. */
+    * starts. The header terminator is whichever blank line occurs FIRST —
+    * preferring CRLF found anywhere would let an LF-framed record whose
+    * body contains \r\n\r\n absorb its body into the header block,
+    * re-opening the injection the anchored regexes close. The header block
+    * is ASCII ⇒ char offsets == byte offsets up to the body start. */
+  private val crlfPos = "locate('\r\n\r\n', value)"
+  private val lfPos = "locate('\n\n', value)"
+  private val crlfFirst = s"($crlfPos > 0 AND ($lfPos = 0 OR $crlfPos <= $lfPos))"
   private val hdrBlockSql =
-    "(CASE WHEN locate('\r\n\r\n', value) > 0 THEN substring(value, 1, locate('\r\n\r\n', value) - 1) " +
-      "WHEN locate('\n\n', value) > 0 THEN substring(value, 1, locate('\n\n', value) - 1) " +
+    s"(CASE WHEN $crlfFirst THEN substring(value, 1, $crlfPos - 1) " +
+      s"WHEN $lfPos > 0 THEN substring(value, 1, $lfPos - 1) " +
       "ELSE value END)"
   private val bodyStartSql =
-    "(CASE WHEN locate('\r\n\r\n', value) > 0 THEN locate('\r\n\r\n', value) + 4 " +
-      "WHEN locate('\n\n', value) > 0 THEN locate('\n\n', value) + 2 END)"
+    s"(CASE WHEN $crlfFirst THEN $crlfPos + 4 " +
+      s"WHEN $lfPos > 0 THEN $lfPos + 2 END)"
 
   /** Content-Length-framed record body: `len` BYTES from the body start —
     * binary substring, then back to string (see object doc). */
@@ -102,10 +108,14 @@ object WarcIngest {
   }
 
   private def wetProjection(recs: DataFrame): DataFrame =
-    recs.filter(col("value").contains("WARC-Type: conversion"))
+    // type selection anchored to the header block — contains() over the
+    // whole record would admit a response whose BODY quotes a type line;
+    // try_to_timestamp: one corrupt crawl date must drop a field, not kill
+    // the job under ANSI mode
+    recs.filter(header("__hdr", "WARC-Type") === "conversion")
       .select(
         header("__hdr", "WARC-Target-URI").as("url"),
-        to_timestamp(header("__hdr", "WARC-Date")).as("warc_ts"),
+        try_to_timestamp(header("__hdr", "WARC-Date")).as("warc_ts"),
         lit(null).cast("binary").as("html"),
         col("__body").as("text"),
         normLang(split(header("__hdr", "WARC-Identified-Content-Language"), ",")
@@ -135,10 +145,10 @@ object WarcIngest {
     val crlf = "locate('\r\n\r\n', __body)"
     val lf = "locate('\n\n', __body)"
     records(spark, path)
-      .filter(col("value").contains("WARC-Type: response"))
+      .filter(header("__hdr", "WARC-Type") === "response")
       .select(
         header("__hdr", "WARC-Target-URI").as("url"),
-        to_timestamp(header("__hdr", "WARC-Date")).as("warc_ts"),
+        try_to_timestamp(header("__hdr", "WARC-Date")).as("warc_ts"),
         expr(s"CASE WHEN $crlf > 0 THEN substring(__body, $crlf + 4) " +
           s"WHEN $lf > 0 THEN substring(__body, $lf + 2) ELSE __body END")
           .cast("binary").as("html"),
@@ -183,8 +193,13 @@ object WarcIngest {
   }
 
   /** Write `n` seeded WET conversion records (plus a warcinfo preamble) as
-    * one .wet file under `dir`; returns the file path. */
+    * one .wet file under `dir`; returns the file path. Content is fully
+    * determined by (n, seed) — both in the file name — so an existing file
+    * is returned as-is: repeat invocations in one process reuse it, and a
+    * rewrite can never race a lazy scan built from a prior invocation. */
   def writeWetFixture(dir: String, n: Int, seed: Long): String = {
+    val p = java.nio.file.Paths.get(dir, s"fixture-$seed-$n.wet")
+    if (java.nio.file.Files.exists(p)) return p.toString
     val rng = new scala.util.Random(seed)
     val langs = Seq("eng", "deu", "fra", "spa", "zho")
     val recs = (0 until n).map { i =>
@@ -192,6 +207,6 @@ object WarcIngest {
       (f"https://synth.test/wet/$seed%d/$i%08d",
         langs(rng.nextInt(langs.length)), words.mkString(" "))
     }
-    writeWetRecords(dir, s"fixture-$seed.wet", recs)
+    writeWetRecords(dir, p.getFileName.toString, recs)
   }
 }

@@ -83,6 +83,45 @@ class WarcIngestSpec extends SparkSpec {
     assert(rows(0).isNullAt(1), "X-WARC-Date must not parse as WARC-Date")
   }
 
+  test("a corrupt WARC-Date drops the field, not the job (ANSI try_to_timestamp)") {
+    val dir = Files.createTempDirectory("graft-wet-d").toString
+    val rec = "WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "WARC-Target-URI: https://x/baddate\r\n" +
+      "WARC-Date: 2026-13-99T99:99:99Z\r\n" +
+      "Content-Length: 2\r\n\r\nok\r\n\r\n"
+    Files.write(java.nio.file.Paths.get(dir, "d.wet"), rec.getBytes("UTF-8"))
+    val r = WarcIngest.readWet(spark, dir).collect()
+    assert(r.length === 1 && r(0).isNullAt(1) && r(0).getString(3) === "ok")
+  }
+
+  test("type selection anchors to the header: a response body quoting a type line cannot cross feeds") {
+    val dir = Files.createTempDirectory("graft-wet-t").toString
+    val html = "<p>the line WARC-Type: conversion marks WET records</p>"
+    val http = "HTTP/1.1 200 OK\r\n\r\n" + html
+    val rec = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://x/doc-about-warc\r\n" +
+      "WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      s"Content-Length: ${http.getBytes("UTF-8").length}\r\n\r\n" + http + "\r\n\r\n"
+    Files.write(java.nio.file.Paths.get(dir, "t.warc"), rec.getBytes("UTF-8"))
+    assert(WarcIngest.readWet(spark, dir).count() === 0,
+      "a response record must never surface as a WET text row")
+    assert(WarcIngest.readWarcHtml(spark, dir).count() === 1)
+  }
+
+  test("LF-framed records whose body contains a CRLF blank line frame at the FIRST blank line") {
+    val dir = Files.createTempDirectory("graft-wet-lf").toString
+    val body = "top\r\n\r\nWARC-Target-URI: http://spam.example/\nrest"
+    val rec = "WARC/1.0\nWARC-Type: conversion\n" +
+      "WARC-Target-URI: https://x/lf\n" +
+      s"Content-Length: ${body.getBytes("UTF-8").length}\n\n" + body + "\n\n"
+    Files.write(java.nio.file.Paths.get(dir, "lf.wet"), rec.getBytes("UTF-8"))
+    val r = WarcIngest.readWet(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getString(0) === "https://x/lf",
+      "the body's CRLF blank line must not extend the header block")
+    assert(r(0).getString(3) === body)
+  }
+
   test("malformed records (no URI, no blank line, no length) drop instead of corrupting") {
     val dir = Files.createTempDirectory("graft-wet-m").toString
     val junk = "WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: 4\r\n\r\nbody\r\n\r\n" + // no URI
