@@ -506,6 +506,39 @@ object SparkEntry {
   // interpolator would reject as invalid escapes.
   // ------------------------------------------------------------------
 
+  /** The a5 early-stop ledger's CTE chain (shared by both a5 oracles — the
+    * patience arithmetic must change in ONE place): synthetic histories,
+    * floored strict-improvement flag, running best, counter, stop cutoff,
+    * and the `executed` epochs. Mirrors [[graft.eval.TrainLoop.earlyStop]]
+    * incl. the best-init-0 floor on every comparison. */
+  private val a5LedgerSql: String =
+    """WITH hist AS (
+         SELECT o_custkey % 4 AS run_id, o_orderkey % 25 + 1 AS epoch,
+                (sum(o_orderkey) % 1000) / 1000.0 AS dev_f1
+         FROM orders GROUP BY 1, 2),
+       scored AS (
+         SELECT run_id, epoch, dev_f1,
+                row_number() OVER (PARTITION BY run_id ORDER BY epoch) AS rn,
+                CASE WHEN dev_f1 > greatest(coalesce(max(dev_f1) OVER (
+                       PARTITION BY run_id ORDER BY epoch
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0), 0.0)
+                     THEN 1 ELSE 0 END AS improved
+         FROM hist),
+       counted AS (
+         SELECT run_id, epoch, dev_f1, rn, improved,
+                greatest(max(dev_f1) OVER (
+                  PARTITION BY run_id ORDER BY epoch), 0.0) AS best_f1,
+                CAST(rn - coalesce(max(CASE WHEN improved = 1 THEN rn END) OVER (
+                  PARTITION BY run_id ORDER BY epoch), 0) AS INTEGER) AS torrence_std
+         FROM scored),
+       stopped AS (
+         SELECT *, min(CASE WHEN torrence_std > 5 THEN rn END) OVER (
+                     PARTITION BY run_id) AS stop_rn
+         FROM counted),
+       executed AS (
+         SELECT * FROM stopped
+         WHERE rn <= coalesce(stop_rn, 9223372036854775807))"""
+
   /** TextStats.qualityScore's DuckDB twin (expression over `text`). */
   private val qualityExprSql: String =
     """round(greatest(0.0,
@@ -650,64 +683,19 @@ object SparkEntry {
          SELECT o_custkey, min(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS all_f
          FROM orders GROUP BY 1)""",
     "a5_early_stop" ->
-      """WITH hist AS (
-           SELECT o_custkey % 4 AS run_id, o_orderkey % 25 + 1 AS epoch,
-                  (sum(o_orderkey) % 1000) / 1000.0 AS dev_f1
-           FROM orders GROUP BY 1, 2),
-         scored AS (
-           SELECT run_id, epoch, dev_f1,
-                  row_number() OVER (PARTITION BY run_id ORDER BY epoch) AS rn,
-                  CASE WHEN dev_f1 > coalesce(max(dev_f1) OVER (
-                         PARTITION BY run_id ORDER BY epoch
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
-                       THEN 1 ELSE 0 END AS improved
-           FROM hist),
-         counted AS (
-           SELECT run_id, epoch, dev_f1, rn, improved,
-                  greatest(max(dev_f1) OVER (
-                    PARTITION BY run_id ORDER BY epoch), 0.0) AS best_f1,
-                  CAST(rn - coalesce(max(CASE WHEN improved = 1 THEN rn END) OVER (
-                    PARTITION BY run_id ORDER BY epoch), 0) AS INTEGER) AS torrence_std
-           FROM scored),
-         stopped AS (
-           SELECT *, min(CASE WHEN torrence_std > 5 THEN rn END) OVER (
-                       PARTITION BY run_id) AS stop_rn
-           FROM counted)
+      (a5LedgerSql +
+        """
          SELECT run_id, epoch, dev_f1, best_f1, torrence_std,
                 CAST(improved AS INTEGER) AS improved
-         FROM stopped WHERE rn <= coalesce(stop_rn, 9223372036854775807)""",
+         FROM executed"""),
     "a5_best_checkpoint" ->
-      """WITH hist AS (
-           SELECT o_custkey % 4 AS run_id, o_orderkey % 25 + 1 AS epoch,
-                  (sum(o_orderkey) % 1000) / 1000.0 AS dev_f1
-           FROM orders GROUP BY 1, 2),
-         scored AS (
-           SELECT run_id, epoch, dev_f1,
-                  row_number() OVER (PARTITION BY run_id ORDER BY epoch) AS rn,
-                  CASE WHEN dev_f1 > coalesce(max(dev_f1) OVER (
-                         PARTITION BY run_id ORDER BY epoch
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
-                       THEN 1 ELSE 0 END AS improved
-           FROM hist),
-         counted AS (
-           SELECT run_id, epoch, dev_f1, rn, improved,
-                  greatest(max(dev_f1) OVER (
-                    PARTITION BY run_id ORDER BY epoch), 0.0) AS best_f1,
-                  CAST(rn - coalesce(max(CASE WHEN improved = 1 THEN rn END) OVER (
-                    PARTITION BY run_id ORDER BY epoch), 0) AS INTEGER) AS torrence_std
-           FROM scored),
-         stopped AS (
-           SELECT *, min(CASE WHEN torrence_std > 5 THEN rn END) OVER (
-                       PARTITION BY run_id) AS stop_rn
-           FROM counted),
-         executed AS (
-           SELECT * FROM stopped
-           WHERE rn <= coalesce(stop_rn, 9223372036854775807))
+      (a5LedgerSql +
+        """
          SELECT run_id,
                 max(CASE WHEN improved = 1 THEN epoch END) AS best_epoch,
                 max(best_f1) AS best_f1,
                 CAST(count(*) AS INTEGER) AS epochs_run
-         FROM executed GROUP BY run_id""",
+         FROM executed GROUP BY run_id"""),
     "o2_deterministic_downsample" ->
       """SELECT user_id, event_id FROM (
          SELECT user_id, event_id, row_number() OVER (

@@ -50,10 +50,15 @@ object TrainLoop {
 
     history
       .withColumn("rn", row_number().over(byRun))
-      // strict improvement over the running best, best initialized to 0;
-      // null F1 (failed eval) coalesces to "not improved", never a null flag
+      // strict improvement over the running best, best initialized to 0 —
+      // the floor applies to EVERY comparison, not just the empty prefix
+      // (an all-negative history must never "improve": the reference's best
+      // starts at 0, run_qa.py:211); null F1 (failed eval) coalesces to
+      // "not improved", never a null flag
       .withColumn("improved",
-        coalesce((col(f1Col) > coalesce(max(col(f1Col)).over(strictPrefix), lit(0.0))).cast("int"),
+        coalesce(
+          (col(f1Col) > greatest(
+            coalesce(max(col(f1Col)).over(strictPrefix), lit(0.0)), lit(0.0))).cast("int"),
           lit(0)))
       .withColumn("best_f1", greatest(max(col(f1Col)).over(prefix), lit(0.0)))
       .withColumn("torrence_std",

@@ -248,10 +248,12 @@ object TextStats {
   def withLangNgram(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
     graft.functions.LangNgramGuess.register(df.sparkSession)
-    // backtick-quote: a caller's column name must never parse as SQL
-    // (col(textCol) accepted any name; `a-b` unquoted would subtract)
+    // backtick-quote WITH doubling: a caller's column name must never parse
+    // as SQL (col(textCol) accepted any name; `a-b` unquoted would
+    // subtract, and an embedded backtick would escape the quoting)
+    val quoted = "`" + textCol.replace("`", "``") + "`"
     df.filter(col(idCol).isNotNull)
       .select(col(idCol).cast("long").as(idCol),
-        coalesce(expr(s"lang_ngram_guess(`$textCol`)"), lit("unknown")).as("lang_guess"))
+        coalesce(expr(s"lang_ngram_guess($quoted)"), lit("unknown")).as("lang_guess"))
   }
 }

@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
   * crawl archives into the engine's pages table
   * `(url, warc_ts, html, text, lang)` (BASELINE.json input_hint).
   *
-  * Mechanism: the text datasource with `lineSep = "WARC/1.0"` splits each
+  * Mechanism: the text datasource with `lineSep = "WARC/1."` (version-
+  * tolerant: 1.0 and 1.1 archives both split; the leftover version digit
+  * is its own line and never matches an anchored header) splits each
   * archive into one row per record, DISTRIBUTIVELY — the source is
   * splittable for plain files (records spanning split boundaries are
   * handled by the line reader), and gzip members (how Common Crawl ships,
@@ -25,7 +27,7 @@ import org.apache.spark.sql.functions._
   * are percent-encoded); a record violating that shifts its own body only.
   *
   * Documented limits (honest, not hidden):
-  *  - a payload containing the literal token `WARC/1.0` splits mid-record;
+  *  - a payload containing the literal token `WARC/1.` splits mid-record;
   *    the header filter drops both fragments rather than emitting a corrupt
   *    row (adversarial framing needs a Content-Length-driven InputFormat);
   *  - the scan decodes UTF-8, so [[readWarcHtml]] is byte-exact only for
@@ -37,9 +39,10 @@ object WarcIngest {
   /** Header lookup, anchored to line starts WITHIN the header block only —
     * an unanchored whole-record regex would resurrect fields from body text
     * that quotes WARC material (real in Common Crawl) or match
-    * `X-WARC-Date:` as `WARC-Date:`. */
+    * `X-WARC-Date:` as `WARC-Date:`. Case-insensitive: ISO 28500 field
+    * names inherit RFC-5322 header semantics (`content-length:` is valid). */
   private def header(hdrCol: String, name: String): Column = {
-    val v = regexp_extract(col(hdrCol), "(?m)^" + name + ": ([^\r\n]+)", 1)
+    val v = regexp_extract(col(hdrCol), "(?mi)^" + name + ": ([^\r\n]+)", 1)
     when(length(v) > 0, v)
   }
 
@@ -66,7 +69,7 @@ object WarcIngest {
   private val bodySql = {
     // try_cast: regexp_extract's no-match '' (or an absurd length) must
     // yield null under ANSI mode, not throw
-    val len = "try_cast(regexp_extract(__hdr, '(?m)^Content-Length: ([0-9]+)', 1) AS INT)"
+    val len = "try_cast(regexp_extract(__hdr, '(?mi)^Content-Length: ([0-9]+)', 1) AS INT)"
     s"CASE WHEN __start IS NOT NULL AND $len IS NOT NULL " +
       s"THEN CAST(substring(CAST(substring(value, __start) AS BINARY), 1, $len) AS STRING) END"
   }
@@ -75,7 +78,7 @@ object WarcIngest {
     * `value` row per lineSep chunk) — shared by the batch and streaming
     * faces. */
   private def frame(raw: DataFrame): DataFrame =
-    raw.filter(col("value").contains("WARC-Type: "))
+    raw.filter(lower(col("value")).contains("warc-type: "))
       .withColumn("__hdr", expr(hdrBlockSql))
       .withColumn("__start", expr(bodyStartSql))
       .withColumn("__body", expr(bodySql))
@@ -84,13 +87,13 @@ object WarcIngest {
     * block, body start, and framed body pre-split — the shared scan for
     * [[readWet]] / [[readWarcHtml]]. */
   def records(spark: SparkSession, path: String): DataFrame =
-    frame(spark.read.option("lineSep", "WARC/1.0").text(path))
+    frame(spark.read.option("lineSep", "WARC/1.").text(path))
 
   /** Streaming twin of [[records]]: new archive files landing under `path`
     * are split incrementally (file-source checkpointing gives exactly-once
     * per file — the monthly-crawl-drop catch-up pattern). */
   def recordsStream(spark: SparkSession, path: String): DataFrame =
-    frame(spark.readStream.option("lineSep", "WARC/1.0").text(path))
+    frame(spark.readStream.option("lineSep", "WARC/1.").text(path))
 
   /** The common ISO-639-3 tags Common Crawl emits, mapped to the engine's
     * 2-letter pages codes (`synth/Corpus` and `Extract.prepare`'s lang

@@ -65,6 +65,20 @@ class TrainLoopSpec extends SparkSpec {
     assert(got === Map(1L -> 6L, 2L -> 7L))
   }
 
+  test("negative metric values never improve: the best-init-0 floor applies to EVERY epoch") {
+    import spark.implicits._
+    // the operator is generic over the metric column; a loss-like negative
+    // series must behave as the reference loop does (best starts at 0, so
+    // nothing below 0 ever exports a checkpoint — run_qa.py:211/285-291)
+    val f1s = Seq(-0.5, -0.3, -0.1, -0.05, -0.01)
+    assert(run(f1s, patience = 3) === simulate(f1s, patience = 3))
+    val hist = f1s.zipWithIndex.map { case (f, i) => (1L, (i + 1).toLong, f) }
+      .toDF("run_id", "epoch", "dev_f1")
+    val best = TrainLoop.bestCheckpoint(hist, patience = 3).collect()
+    assert(best.length === 1 && best(0).isNullAt(1),
+      "a never-above-zero run must export no checkpoint")
+  }
+
   test("null F1 epochs (failed evals) count as no-improvement, never emit null flags") {
     import spark.implicits._
     // epochs 2 and 3 have null F1: best stays 0.5, counter advances, and the

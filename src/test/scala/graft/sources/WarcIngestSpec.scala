@@ -122,6 +122,23 @@ class WarcIngestSpec extends SparkSpec {
     assert(r(0).getString(3) === body)
   }
 
+  test("WARC/1.1 archives and case-varied header names parse (spec-mandated tolerance)") {
+    val dir = Files.createTempDirectory("graft-wet-v").toString
+    val b1 = "version one one"
+    val b2 = "lower case headers"
+    val rec = "WARC/1.1\r\nWARC-Type: conversion\r\n" +
+      "WARC-Target-URI: https://x/v11\r\n" +
+      s"Content-Length: ${b1.getBytes("UTF-8").length}\r\n\r\n$b1\r\n\r\n" +
+      "WARC/1.1\r\nwarc-type: conversion\r\n" +
+      "warc-target-uri: https://x/lc\r\n" +
+      "warc-date: 2026-02-02T00:00:00Z\r\n" +
+      s"content-length: ${b2.getBytes("UTF-8").length}\r\n\r\n$b2\r\n\r\n"
+    Files.write(java.nio.file.Paths.get(dir, "v11.warc.wet"), rec.getBytes("UTF-8"))
+    val got = WarcIngest.readWet(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(got === Map("https://x/v11" -> b1, "https://x/lc" -> b2))
+  }
+
   test("malformed records (no URI, no blank line, no length) drop instead of corrupting") {
     val dir = Files.createTempDirectory("graft-wet-m").toString
     val junk = "WARC/1.0\r\nWARC-Type: conversion\r\nContent-Length: 4\r\n\r\nbody\r\n\r\n" + // no URI
