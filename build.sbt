@@ -23,6 +23,11 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// local-cluster masters fork executor JVMs through SPARK_HOME's command
+// builder, which needs this told explicitly in a dist layout (no
+// launcher/target build dirs to sniff the Scala version from).
+run / envVars += "SPARK_SCALA_VERSION" -> "2.13"
+Test / envVars += "SPARK_SCALA_VERSION" -> "2.13"
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -35,8 +35,37 @@ object SparkSessionFactory {
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
 
-  def local(cpus: Int, appName: String = "graft"): SparkSession = {
-    val s = builder(s"local[$cpus]", math.max(cpus, 4)).appName(appName).getOrCreate()
+  def local(cpus: Int, appName: String = "graft"): SparkSession =
+    sys.env.get("SPARK_GRAFT_MASTER") match {
+      // manual override (e.g. SPARK_GRAFT_MASTER=local-cluster[2,8,4096]
+      // sbt "runMain graft.Verify ...") — the whole battery under a real
+      // multi-JVM master without touching callers
+      case Some(m) if m.startsWith("local-cluster") => cluster(m, appName)
+      case _ =>
+        val s = builder(s"local[$cpus]", math.max(cpus, 4)).appName(appName).getOrCreate()
+        s.sparkContext.setLogLevel("WARN")
+        s
+    }
+
+  /** Multi-JVM session: `local-cluster[workers,coresPerWorker,memMB]` forks
+    * real executor processes through the standalone Worker path, so closure /
+    * broadcast serialization, task-result transport, and the per-executor
+    * lazy singletons actually cross a process boundary — the in-sandbox
+    * stand-in for spark-submit on a real cluster (north_rule). Executor JVMs
+    * are built from SPARK_HOME, which knows nothing of this build, so the
+    * application classes are handed over via `spark.executor.extraClassPath`
+    * (this JVM's own classpath — the forked sbt run JVM carries the full
+    * app classpath) and the JDK-17 module opens via the launcher's own
+    * [[org.apache.spark.launcher.JavaModuleOptions]]. */
+  def cluster(master: String, appName: String = "graft-cluster",
+      executorMem: String = "3g"): SparkSession = {
+    val appCp = sys.props.getOrElse("java.class.path", "")
+    val s = builder(master, 32).appName(appName)
+      .config("spark.executor.memory", executorMem)
+      .config("spark.executor.extraClassPath", appCp)
+      .config("spark.executor.extraJavaOptions",
+        org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions())
+      .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
