@@ -1,7 +1,20 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+
+/** One WARC record parsed at the byte level: headers decoded (ASCII per
+  * spec), body kept as the EXACT Content-Length byte slice — no charset
+  * decode, no delimiter sensitivity. `lang` is the raw
+  * WARC-Identified-Content-Language header (possibly comma-separated). */
+final case class WarcByteRecord(
+    file: String,
+    recordType: String,
+    url: String,
+    warcDate: String,
+    lang: String,
+    contentLength: Long,
+    body: Array[Byte])
 
 /** Common-Crawl-style WARC/WET ingestion — the first mile that turns raw
   * crawl archives into the engine's pages table
@@ -26,13 +39,19 @@ import org.apache.spark.sql.functions._
   * may be taken in characters because the WARC header block is ASCII (URIs
   * are percent-encoded); a record violating that shifts its own body only.
   *
-  * Documented limits (honest, not hidden):
+  * Documented limits of the text-scan path (honest, not hidden):
   *  - a payload containing the literal token `WARC/1.` splits mid-record;
-  *    the header filter drops both fragments rather than emitting a corrupt
-  *    row (adversarial framing needs a Content-Length-driven InputFormat);
-  *  - the scan decodes UTF-8, so [[readWarcHtml]] is byte-exact only for
-  *    ASCII/UTF-8 payloads — other charsets or compressed bodies arrive
-  *    with replacement characters and need a byte-level reader.
+  *    BOTH fragments drop — the second has no header block, and the first
+  *    fails the available-bytes-vs-Content-Length guard in [[bodySql]]
+  *    (an under-length frame must never emit a silently truncated row);
+  *  - the scan decodes UTF-8 — fine for WET (UTF-8 by spec), wrong for
+  *    arbitrary-charset response payloads.
+  * Both limits are lifted by the byte-level reader ([[recordsBytes]]):
+  * Content-Length framing over raw bytes can neither split on body tokens
+  * nor transcode, so [[readWarcHtml]] / [[readWetBytes]] are built on it.
+  * The text scan remains the scale path for WET — it is splittable WITHIN
+  * a file and fully codegen; the byte reader parallelizes per file (exactly
+  * the granularity real `.warc.gz` archives force, one gzip stream each).
   */
 object WarcIngest {
 
@@ -65,23 +84,31 @@ object WarcIngest {
       s"WHEN $lfPos > 0 THEN $lfPos + 2 END)"
 
   /** Content-Length-framed record body: `len` BYTES from the body start —
-    * binary substring, then back to string (see object doc). */
+    * binary substring, then back to string (see object doc). A chunk
+    * holding FEWER bytes than Content-Length is a fragment (a body that
+    * contained the record delimiter, or a truncated archive tail): framing
+    * it would emit a silently truncated row, so it yields null and
+    * [[frame]] drops it. */
   private val bodySql = {
     // try_cast: regexp_extract's no-match '' (or an absurd length) must
     // yield null under ANSI mode, not throw
     val len = "try_cast(regexp_extract(__hdr, '(?mi)^Content-Length: ([0-9]+)', 1) AS INT)"
     s"CASE WHEN __start IS NOT NULL AND $len IS NOT NULL " +
+      s"AND length(CAST(substring(value, __start) AS BINARY)) >= $len " +
       s"THEN CAST(substring(CAST(substring(value, __start) AS BINARY), 1, $len) AS STRING) END"
   }
 
   /** Record split + framing over an already-read raw text frame (one
     * `value` row per lineSep chunk) — shared by the batch and streaming
-    * faces. */
+    * faces. Chunks without a frameable body (fragments, truncated tails,
+    * missing Content-Length) drop here — corrupt input loses rows, never
+    * corrupts them. */
   private def frame(raw: DataFrame): DataFrame =
     raw.filter(lower(col("value")).contains("warc-type: "))
       .withColumn("__hdr", expr(hdrBlockSql))
       .withColumn("__start", expr(bodyStartSql))
       .withColumn("__body", expr(bodySql))
+      .filter(col("__body").isNotNull)
 
   /** One row per WARC record of the archives under `path`, with the header
     * block, body start, and framed body pre-split — the shared scan for
@@ -138,26 +165,166 @@ object WarcIngest {
   def readWetStream(spark: SparkSession, path: String): DataFrame =
     wetProjection(recordsStream(spark, path))
 
+  // ------------------------------------------------------------------
+  // Byte-level reader: Content-Length framing over raw bytes. The HTML
+  // feed (arbitrary charsets, payloads that may quote WARC syntax) and
+  // gzip'd archives come through here; the codegen text scan above stays
+  // the splittable WET fast path.
+  // ------------------------------------------------------------------
+
+  /** Upper bound on one header block (spec headers are a few hundred
+    * bytes); a "header" growing past this is garbage, and the file's parse
+    * stops rather than buffering unboundedly. */
+  private val MaxHeaderBytes = 1 << 20
+
+  /** Sequential ISO-28500 record parse over a raw byte stream: version
+    * line + header lines to the first blank line (CRLF per spec, bare LF
+    * tolerated), then EXACTLY Content-Length body bytes, then the
+    * inter-record CRLFs. Byte framing means a body containing `WARC/1.`,
+    * a blank line, or any non-UTF-8 charset passes through untouched. A
+    * record that cannot be framed (no `WARC/` magic where one is due,
+    * missing Content-Length, truncated body) ends the file's parse — on
+    * corrupt input rows are LOST, never silently corrupted. Lazy: one
+    * record's body is resident at a time. */
+  private[sources] def parseWarcStream(in: java.io.InputStream,
+      file: String): Iterator[WarcByteRecord] = new Iterator[WarcByteRecord] {
+    private val pb = new java.io.PushbackInputStream(
+      new java.io.BufferedInputStream(in, 64 * 1024), 1)
+    private var nextRec: WarcByteRecord = fetch()
+
+    /** Consume inter-record \r / \n bytes; false at EOF. */
+    private def skipSeparators(): Boolean = {
+      var b = pb.read()
+      while (b == '\r' || b == '\n') b = pb.read()
+      if (b < 0) false else { pb.unread(b); true }
+    }
+
+    /** Header block up to (excluding) the first CRLFCRLF or LFLF; null if
+      * EOF/oversized/terminator never found. Header bytes are ASCII per
+      * spec; ISO-8859-1 decode is byte-lossless if one isn't. */
+    private def readHeaderBlock(): String = {
+      val buf = new java.io.ByteArrayOutputStream(512)
+      var b = pb.read()
+      while (b >= 0 && buf.size < MaxHeaderBytes) {
+        buf.write(b)
+        val a = buf.toByteArray
+        val n = a.length
+        val crlf = n >= 4 && a(n - 4) == '\r' && a(n - 3) == '\n' &&
+          a(n - 2) == '\r' && a(n - 1) == '\n'
+        val lf = n >= 2 && a(n - 2) == '\n' && a(n - 1) == '\n' &&
+          (n < 3 || a(n - 3) != '\r')
+        if (crlf || lf) {
+          val cut = if (crlf) 4 else 2
+          return new String(a, 0, n - cut, java.nio.charset.StandardCharsets.ISO_8859_1)
+        }
+        b = pb.read()
+      }
+      null
+    }
+
+    private def fetch(): WarcByteRecord = {
+      if (!skipSeparators()) return null
+      val hdr = readHeaderBlock()
+      if (hdr == null) return null
+      val lines = hdr.split("\r\n|\n")
+      if (lines.isEmpty || !lines(0).startsWith("WARC/")) return null
+      val fields = lines.iterator.drop(1)
+        .flatMap { l =>
+          val i = l.indexOf(':')
+          if (i <= 0) None else Some(l.substring(0, i).trim.toLowerCase -> l.substring(i + 1).trim)
+        }
+        .toSeq.groupBy(_._1).map { case (k, vs) => k -> vs.head._2 } // first occurrence wins
+      val len = fields.get("content-length").flatMap(v => v.toLongOption)
+      len match {
+        case Some(n) if n >= 0 && n <= Int.MaxValue =>
+          val body = pb.readNBytes(n.toInt)
+          if (body.length < n) null // truncated archive tail: drop, don't emit short
+          else WarcByteRecord(file,
+            fields.getOrElse("warc-type", null),
+            fields.getOrElse("warc-target-uri", null),
+            fields.getOrElse("warc-date", null),
+            fields.getOrElse("warc-identified-content-language", null),
+            n, body)
+        case _ => null // Content-Length is mandatory (ISO 28500 §5.3)
+      }
+    }
+
+    override def hasNext: Boolean = nextRec != null
+    override def next(): WarcByteRecord = {
+      val r = nextRec; nextRec = fetch(); r
+    }
+  }
+
+  /** One row per WARC record, parsed at the byte level. Source is the
+    * `binaryFile` datasource (one content array per file, file-granular
+    * parallelism — the same granularity real `.warc.gz` archives force,
+    * since each is one ~1 GB gzip stream; Common Crawl ships ~64k files
+    * per crawl, ample parallelism for any cluster width). Gzip'd archives
+    * (magic `1f 8b`) are decompressed in-stream, concatenated members
+    * included — the compressed bytes are resident per task, decompressed
+    * bytes only record-at-a-time. */
+  def recordsBytes(spark: SparkSession, path: String): Dataset[WarcByteRecord] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val raw = new java.io.ByteArrayInputStream(bytes)
+        val in =
+          if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b)
+            new java.util.zip.GZIPInputStream(raw)
+          else raw
+        parseWarcStream(in, p)
+      }
+  }
+
+  /** First blank line of an HTTP message (CRLF preferred only if it comes
+    * first — same rule as the record framing): returns the byte offset
+    * where the payload starts, or 0 if headerless (bare payload). */
+  private def httpPayloadStart(b: Array[Byte]): Int = {
+    var i = 0
+    while (i < b.length - 1) {
+      if (b(i) == '\n' && b(i + 1) == '\n') return i + 2
+      if (i < b.length - 3 && b(i) == '\r' && b(i + 1) == '\n' &&
+        b(i + 2) == '\r' && b(i + 3) == '\n') return i + 4
+      i += 1
+    }
+    0
+  }
+
   /** WARC response records → pages rows with `html` populated (the HTTP
-    * payload after the response-header blank line) and `text` null. Exact
-    * for ASCII/UTF-8 payloads only — see the object doc's limits. */
+    * payload after the response-header blank line, BYTE-exact for any
+    * charset or compressed payload) and `text` null. */
   def readWarcHtml(spark: SparkSession, path: String): DataFrame = {
-    // the record body is an HTTP response: strip ITS header block the same
-    // way (payload after the body's first blank line; whole body if none —
-    // some archives store bare payloads)
-    val crlf = "locate('\r\n\r\n', __body)"
-    val lf = "locate('\n\n', __body)"
-    records(spark, path)
-      .filter(header("__hdr", "WARC-Type") === "response")
-      .select(
-        header("__hdr", "WARC-Target-URI").as("url"),
-        try_to_timestamp(header("__hdr", "WARC-Date")).as("warc_ts"),
-        expr(s"CASE WHEN $crlf > 0 THEN substring(__body, $crlf + 4) " +
-          s"WHEN $lf > 0 THEN substring(__body, $lf + 2) ELSE __body END")
-          .cast("binary").as("html"),
+    import spark.implicits._
+    recordsBytes(spark, path)
+      .filter(r => "response".equalsIgnoreCase(r.recordType) && r.url != null)
+      .map { r =>
+        val start = httpPayloadStart(r.body)
+        (r.url, r.warcDate, java.util.Arrays.copyOfRange(r.body, start, r.body.length))
+      }
+      .toDF("url", "__date", "html")
+      .select(col("url"), try_to_timestamp(col("__date")).as("warc_ts"),
+        col("html"),
         lit(null).cast("string").as("text"),
         lit(null).cast("string").as("lang"))
-      .filter(col("url").isNotNull)
+  }
+
+  /** Byte-level WET twin of [[readWet]] — same output frame, built on
+    * [[recordsBytes]]: immune to delimiter-token splits by construction,
+    * so it doubles as the adversarial-input fallback for archives the
+    * splittable text scan would drop fragments from. */
+  def readWetBytes(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    recordsBytes(spark, path)
+      .filter(r => "conversion".equalsIgnoreCase(r.recordType) && r.url != null)
+      .map(r => (r.url, r.warcDate,
+        new String(r.body, java.nio.charset.StandardCharsets.UTF_8), // WET is UTF-8 by spec
+        Option(r.lang).map(_.split(",")(0).trim).orNull))
+      .toDF("url", "__date", "text", "__lang")
+      .select(col("url"), try_to_timestamp(col("__date")).as("warc_ts"),
+        lit(null).cast("binary").as("html"), col("text"),
+        normLang(col("__lang")).as("lang"))
   }
 
   // ------------------------------------------------------------------

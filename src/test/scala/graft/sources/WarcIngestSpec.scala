@@ -172,6 +172,91 @@ class WarcIngestSpec extends SparkSpec {
     assert(r(0).isNullAt(3) && r(0).isNullAt(4))
   }
 
+  // ---- byte-level reader -------------------------------------------------
+
+  /** Assemble one WARC record with a RAW byte body (no charset round-trip)
+    * and correct Content-Length. */
+  private def rawRecord(tpe: String, uri: String, body: Array[Byte],
+      extra: Seq[(String, String)] = Nil): Array[Byte] = {
+    val hdr = new StringBuilder("WARC/1.0\r\n")
+    hdr.append(s"WARC-Type: $tpe\r\n")
+    if (uri != null) hdr.append(s"WARC-Target-URI: $uri\r\n")
+    hdr.append("WARC-Date: 2026-03-04T05:06:07Z\r\n")
+    extra.foreach { case (k, v) => hdr.append(s"$k: $v\r\n") }
+    hdr.append(s"Content-Length: ${body.length}\r\n\r\n")
+    hdr.toString.getBytes("US-ASCII") ++ body ++ "\r\n\r\n".getBytes("US-ASCII")
+  }
+
+  test("byte reader: an ISO-8859-1 payload survives byte-exactly (no replacement chars)") {
+    val dir = Files.createTempDirectory("graft-warc-iso").toString
+    val payload = "café über straße".getBytes("ISO-8859-1")
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=iso-8859-1\r\n\r\n"
+      .getBytes("US-ASCII") ++ payload
+    Files.write(java.nio.file.Paths.get(dir, "iso.warc"),
+      rawRecord("response", "https://x/iso", http))
+    val r = WarcIngest.readWarcHtml(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Array[Byte]]("html").toSeq === payload.toSeq,
+      "a UTF-8 text scan would have mangled every accented byte")
+    assert(r(0).getTimestamp(1) != null)
+  }
+
+  test("byte reader: gzip'd archives (concatenated members) parse byte-exactly") {
+    val dir = Files.createTempDirectory("graft-warc-gz").toString
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    val p1 = "<html>ÿþ binary-ish</html>".getBytes("ISO-8859-1")
+    val p2 = "<p>two</p>".getBytes("UTF-8")
+    // one member per record — exactly how Common Crawl ships .warc.gz
+    val members = gz(rawRecord("response", "https://x/gz1",
+      "HTTP/1.1 200 OK\r\n\r\n".getBytes("US-ASCII") ++ p1)) ++
+      gz(rawRecord("response", "https://x/gz2",
+        "HTTP/1.1 200 OK\r\n\r\n".getBytes("US-ASCII") ++ p2))
+    Files.write(java.nio.file.Paths.get(dir, "two.warc.gz"), members)
+    val got = WarcIngest.readWarcHtml(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]]("html").toSeq).toMap
+    assert(got === Map("https://x/gz1" -> p1.toSeq, "https://x/gz2" -> p2.toSeq))
+  }
+
+  test("a body containing the record delimiter: byte reader exact, text scan drops (never truncates)") {
+    val dir = Files.createTempDirectory("graft-warc-delim").toString
+    val evil = "this page documents the WARC/1.0 format\r\n\r\nin detail"
+    val fine = "an ordinary record after the delimiter-quoting one"
+    val bytes = rawRecord("conversion", "https://x/evil",
+      evil.getBytes("UTF-8"), Seq("WARC-Identified-Content-Language" -> "eng")) ++
+      rawRecord("conversion", "https://x/fine",
+        fine.getBytes("UTF-8"), Seq("WARC-Identified-Content-Language" -> "eng"))
+    Files.write(java.nio.file.Paths.get(dir, "delim.wet"), bytes)
+    // byte path: both records, the delimiter-quoting body byte-exact
+    val byBytes = WarcIngest.readWetBytes(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(byBytes === Map("https://x/evil" -> evil, "https://x/fine" -> fine))
+    assert(byBytes.values.forall(_ != null))
+    // text path: the fragment DROPS (ADVICE guard) — a truncated
+    // "…documents the " row must never surface; the following record is
+    // unaffected
+    val byText = WarcIngest.readWet(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(byText === Map("https://x/fine" -> fine),
+      s"text scan must drop the unframeable fragment, got $byText")
+  }
+
+  test("byte-level WET twin agrees with the text scan on a clean fixture") {
+    val dir = Files.createTempDirectory("graft-wet-twin").toString
+    WarcIngest.writeWetFixture(dir, n = 30, seed = 13)
+    val text = WarcIngest.readWet(spark, dir)
+      .selectExpr("url", "text", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val bytes = WarcIngest.readWetBytes(spark, dir)
+      .selectExpr("url", "text", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(text.size === 30 && bytes === text,
+      "two independent parsers over the same archive must agree field-exactly")
+  }
+
   test("ingest → extract equals direct extraction on real zh documents") {
     import graft.synth.Corpus
     val dir = Files.createTempDirectory("graft-wet-x").toString
