@@ -61,12 +61,25 @@ object Dedup {
       .filter(length(col("shingle")) > 0)
 
   /** Pairwise n-gram Jaccard over a shingle self-join (exact, for modest
-    * candidate sets / verification): pairs with jaccard >= threshold. */
+    * candidate sets / verification): pairs with jaccard >= threshold.
+    *
+    * Misuse guard: shingles appearing in more than `maxDocFreq` docs are
+    * excluded from the JOIN (the stop-shingle discipline of
+    * [[winnowedOverlapPairs]]) — one boilerplate n-gram shared by d docs
+    * would otherwise emit d²/2 join rows on its own. They still count in
+    * each doc's shingle-set size, so the guard can only LOWER a pair's
+    * reported jaccard (union stays exact, intersection loses only
+    * boilerplate evidence) — near-identical docs still share plenty of
+    * rare shingles. Default is far above anything a verification-scale
+    * candidate set produces, so results are unchanged there. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double, maxDocFreq: Int = 1000): DataFrame = {
     val sh = charShingleDF(df, idCol, textCol, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val shared = sh.as("a").join(sh.as("b"), col("a.shingle") === col("b.shingle"))
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df_"))
+      .filter(col("df_") <= maxDocFreq).select("shingle")
+    val kept = sh.join(rare, Seq("shingle"), "left_semi")
+    val shared = kept.as("a").join(kept.as("b"), col("a.shingle") === col("b.shingle"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("shared"))

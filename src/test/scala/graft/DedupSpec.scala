@@ -213,6 +213,27 @@ class DedupSpec extends SparkSpec {
     assert(guarded < unguarded / 5, s"guarded=$guarded unguarded=$unguarded")
   }
 
+  test("ngram jaccard drops boilerplate shingles above maxDocFreq (misuse guard)") {
+    // every doc shares one long boilerplate run; without the stop-shingle
+    // guard each of its ~60 8-gram shingles joins 40×39/2 pairs
+    val boiler = "shared footer boilerplate text that appears on every single page here"
+    def u(i: Int) = f"uniq$i%04dtag" * 4
+    val near = (0 until 40).map(i => (i.toLong, s"${u(i)} $boiler"))
+    val df = docs(near ++ Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta!")))
+    // guard active: the boilerplate (df=40 > 10) carries no pairs; the two
+    // genuinely near-identical docs still match on their rare shingles
+    val guarded = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      n = 8, threshold = 0.5, maxDocFreq = 10).collect()
+    assert(guarded.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((100L, 101L)),
+      s"got ${guarded.mkString(",")}")
+    // default guard (1000) leaves verification-scale semantics untouched:
+    // boilerplate pairs reappear exactly as the unguarded join would emit
+    val unguarded = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      n = 8, threshold = 0.5).count()
+    assert(unguarded >= 40L * 39 / 2, s"unguarded=$unguarded")
+  }
+
   test("hashing primitives are deterministic across calls") {
     assert(Hashing.hash64("abc") === Hashing.hash64("abc"))
     assert(Hashing.hash64("abc") !== Hashing.hash64("abd"))
