@@ -86,10 +86,24 @@ object StreamDedup {
   // access the constructor/accessors (object-private is private in bytecode)
   private[streaming] final case class BandRow(docId: Long, ts: Timestamp,
       sim: Long, band: Int, key: Long)
-  private[streaming] final case class Keeper(sim: Long, lastTs: Long)
 
-  private def updateBand(horizonMs: Long)(key: (Int, Long), rows: Iterator[BandRow],
-      state: GroupState[Keeper]): Iterator[BandVerdict] = {
+  /** Per-band-value state: the first `SigCap` DISTINCT signatures seen for
+    * this band value in the horizon — not just the first writer's. A doc is
+    * verified against all of them, so a doc near an earlier NON-first
+    * arrival is still caught (the first claimant may be far: band equality
+    * only pins its 64/bands-bit slice). Beyond the cap recall degrades to
+    * best-effort against the stored set — the documented trade bounding
+    * state at `SigCap` longs per live band value; the batch
+    * [[graft.ops.Dedup.simhashPairs]] pass is the completeness backstop. */
+  private[streaming] final case class Keeper(sims: List[Long], lastTs: Long)
+
+  /** Signatures retained per band value. 8 × 8 bytes: a hot templated band
+    * value stays cheap while covering the realistic few distinct in-horizon
+    * signatures that share a 16-bit band slice. */
+  private[streaming] val SigCap = 8
+
+  private[streaming] def updateBand(horizonMs: Long)(key: (Int, Long),
+      rows: Iterator[BandRow], state: GroupState[Keeper]): Iterator[BandVerdict] = {
     if (rows.isEmpty && state.hasTimedOut) {
       // watermark passed lastSeen + horizon: no in-horizon duplicate can
       // still arrive for this band value — state is dropped, bounding total
@@ -103,15 +117,20 @@ object StreamDedup {
     rows.toSeq.sortBy(r => (r.ts.getTime, r.docId)).foreach { r =>
       st match {
         case None =>
-          st = Some(Keeper(r.sim, r.ts.getTime))
+          st = Some(Keeper(r.sim :: Nil, r.ts.getTime))
           out += BandVerdict(r.docId, r.ts, r.band, -1)
         case Some(k) =>
-          // verified distance — a band collision between genuinely distant
-          // docs scores its true (large) hamming and never suppresses, so
-          // the 2^-width collision rate costs candidate work, not precision
-          out += BandVerdict(r.docId, r.ts, r.band,
-            java.lang.Long.bitCount(r.sim ^ k.sim))
-          st = Some(k.copy(lastTs = math.max(k.lastTs, r.ts.getTime)))
+          // verified distance against EVERY stored signature — a band
+          // collision between genuinely distant docs scores its true
+          // (large) hamming and never suppresses, so the 2^-width collision
+          // rate costs candidate work, not precision
+          val h = k.sims.iterator.map(s => java.lang.Long.bitCount(r.sim ^ s)).min
+          out += BandVerdict(r.docId, r.ts, r.band, h)
+          // a NEW signature (kept or suppressed — transitive chains need
+          // both) joins the stored set while the cap allows
+          val sims =
+            if (h > 0 && k.sims.size < SigCap) k.sims :+ r.sim else k.sims
+          st = Some(Keeper(sims, math.max(k.lastTs, r.ts.getTime)))
       }
     }
     st.foreach { k =>
@@ -124,12 +143,16 @@ object StreamDedup {
   /** In-stream near-dup suppression at Hamming radius ≥ 1 — the streaming
     * twin of [[graft.ops.Dedup.simhashPairs]]' pigeonhole blocking. Each doc
     * explodes to `maxHamming + 1` band keys ([[Hashing.simhashBandKeys]]);
-    * per-band keyed state holds the first-writer's FULL 64-bit signature, so
-    * every later doc sharing the band gets a VERIFIED Hamming distance (an
-    * unverified shared-band key would false-suppress at the 2^-width
-    * collision rate — fatal at stream scale). Any pair within the radius
-    * shares at least one whole band (Manku WWW'07), so in-horizon recall at
-    * the radius is guaranteed against current band keepers.
+    * per-band keyed state holds the first [[SigCap]] distinct FULL 64-bit
+    * signatures seen for the value, and every later doc sharing the band
+    * gets a VERIFIED Hamming distance against all of them (an unverified
+    * shared-band key would false-suppress at the 2^-width collision rate —
+    * fatal at stream scale). Any pair within the radius shares at least one
+    * whole band (Manku WWW'07), so in-horizon recall at the radius holds
+    * whenever the earlier doc's signature is among the ≤ SigCap stored for
+    * some shared band value — i.e. guaranteed until a band value has seen
+    * more than SigCap distinct signatures, best-effort past that (the batch
+    * simhashPairs pass is the completeness backstop).
     *
     * All band rows of a doc land in the SAME micro-batch, so the per-doc
     * verdict is a plain per-batch vote — [[keptDocs]] inside `foreachBatch`
