@@ -416,6 +416,37 @@ object SparkEntry {
       val triples = Extract.triples(Corpus.pages(s, 300, seed = 42, noisyFrac = 0.0).toDF())
       graft.link.Linker.canonicalTriples(triples).toDF()
     }),
+    // the north-star composition, driver-checked every round: WET archive →
+    // byte-framed ingest → two-turn extraction → LSH linking + CC
+    // canonicalization → bucket-partitioned graph materialize with
+    // per-partition lineage manifests. Returns the per-stage manifest
+    // summary (rows + xor-of-bucket-checksums — deterministic), so a hash
+    // drift anywhere in the five-stage chain flips this query. Fresh work
+    // dir per invocation: each run is the FULL pipeline, never a resume
+    // no-op (resume semantics are PipelineE2ESpec's job).
+    "kg_e2e_pipeline" -> ((s, dir) => {
+      val wetDir = s"$processScratchRoot/e2e_wet"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(wetDir, "e2e.wet"))) {
+        val recs = (0L until 250L).map { i =>
+          val d = Corpus.buildDoc(i, seed = 23, noisyFrac = 0.0)
+          (d.page.url, "zho", d.page.text)
+        }
+        graft.sources.WarcIngest.writeWetRecords(wetDir, "e2e.wet", recs)
+      }
+      val work = java.nio.file.Files.createTempDirectory("graft_e2e_run").toString
+      val pages = graft.sources.WarcIngest.readWet(s, wetDir)
+      val cfg = graft.pipeline.Pipeline.Config(work, nBuckets = 16,
+        inputSnapshot = "wet-e2e-v1", completeInput = true)
+      graft.pipeline.Pipeline.run(pages, cfg)
+      import s.implicits._
+      Seq(("extract", graft.pipeline.Pipeline.triplesDir(cfg)),
+        ("canonicalize", graft.pipeline.Pipeline.canonicalDir(cfg)))
+        .map { case (st, p) =>
+          val snap = graft.io.TableIO.readSnapshot(s, p).get
+          (st, snap.buckets.size, snap.buckets.map(_.rowCount).sum,
+            snap.buckets.map(_.checksum).foldLeft(0L)(_ ^ _))
+        }.toDF("stage", "buckets", "rows", "checksum")
+    }),
     "kg_byte_identity" -> ((s, dir) => {
       // input_hint invariant: text == extractText(html) per url, checked with
       // native Column expressions over the html binary (zero UDFs)
