@@ -82,4 +82,31 @@ object Encoder {
     ids(p) = CharVocab.SEP; mask(p) = 1; seg(p) = 1
     EncodedRow(ids, mask, seg, lenQ, lenCtx)
   }
+
+  /** `question_first=True` layout: `[CLS] question [SEP] context [SEP]` —
+    * the default-off variant whose eval slice arithmetic lives at
+    * utils/evaluate_funcs.py:433-436 (context then occupies token positions
+    * `[2 + lenQ, 2 + lenQ + lenCtx)`). Same longest-first truncation;
+    * segment 1 marks the SECOND sequence (here the context). */
+  def encodeQuestionFirst(context: String, question: String, maxSeq: Int): EncodedRow = {
+    var lenCtx = context.length
+    var lenQ = question.length
+    while (3 + lenCtx + lenQ > maxSeq) {
+      if (lenCtx > lenQ) lenCtx -= 1 else lenQ -= 1
+    }
+    val ids = new Array[Int](maxSeq)
+    val mask = new Array[Int](maxSeq)
+    val seg = new Array[Int](maxSeq)
+    var p = 0
+    ids(p) = CharVocab.CLS; mask(p) = 1; p += 1
+    var i = 0
+    while (i < lenQ) { ids(p) = CharVocab.id(question.charAt(i)); mask(p) = 1; p += 1; i += 1 }
+    ids(p) = CharVocab.SEP; mask(p) = 1; p += 1
+    i = 0
+    while (i < lenCtx) {
+      ids(p) = CharVocab.id(context.charAt(i)); mask(p) = 1; seg(p) = 1; p += 1; i += 1
+    }
+    ids(p) = CharVocab.SEP; mask(p) = 1; seg(p) = 1
+    EncodedRow(ids, mask, seg, lenQ, lenCtx)
+  }
 }

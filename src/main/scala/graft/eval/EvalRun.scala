@@ -23,8 +23,16 @@ object EvalRun {
     * char 0); pred tags come from the kernel's Viterbi decode over the same
     * encoded row. Spans truncated away by maxSeq are excluded from gold,
     * mirroring the reference's feature builder. */
+  /** @param questionFirst the default-off `question_first=True` variant
+    *        (utils/evaluate_funcs.py:433-436): rows encode `[CLS] question
+    *        [SEP] context [SEP]` and the pred tags come from the reference's
+    *        quirky slice over the CLS-stripped decode — one past the true
+    *        context start (see [[graft.model.Kernel.tagBatch]]). Gold labels
+    *        stay the exact context slice, as the reference's label slice
+    *        `[2 + lenQ, 2 + lenQ + lenCtx)` over the UNstripped array is. */
   def evalSamples(pages: DataFrame, gold: Dataset[GoldTriple],
-      cfg: ExtractorConfig = ExtractorConfig()): Dataset[(Int, Metrics.EvalSample)] = {
+      cfg: ExtractorConfig = ExtractorConfig(),
+      questionFirst: Boolean = false): Dataset[(Int, Metrics.EvalSample)] = {
     val spark = pages.sparkSession
     import spark.implicits._
     // maxSeq flows from cfg so the F1 length gate and the encoder always
@@ -39,7 +47,9 @@ object EvalRun {
         // bit-identical to row-at-a-time (Kernel.tagBatch contract)
         rows.grouped(graft.pipeline.Extract.kernelBatchSize).flatMap { chunk =>
           val reqs = chunk.map { case (_, context, question, qType, subjTok, _) =>
-            val row = Encoder.encode(context, question, cfg.maxSeq)
+            val row =
+              if (questionFirst) Encoder.encodeQuestionFirst(context, question, cfg.maxSeq)
+              else Encoder.encode(context, question, cfg.maxSeq)
             val name = Ontology.id2relation(qType)
             // subject vs relation sample is decided by subject_token: subject
             // samples carry "" (QaGen.subjectSamples). The tag id CANNOT
@@ -52,7 +62,7 @@ object EvalRun {
                 .filter(_.end <= row.lenContext)
             (row, bias, qType)
           }.toArray
-          val preds = kernel.tagBatch(reqs)
+          val preds = kernel.tagBatch(reqs, questionFirst)
           chunk.zipWithIndex.map { case ((_, _, _, qType, _, spans), i) =>
             val lenContext = reqs(i)._1.lenContext
             val goldSpans = spans.filter(_.end <= lenContext)
@@ -66,8 +76,9 @@ object EvalRun {
   /** Per-type metrics table for a (pages, gold) corpus — the `{sign}_res`
     * aggregate of the reference, end to end. */
   def perTypeMetrics(pages: DataFrame, gold: Dataset[GoldTriple],
-      cfg: ExtractorConfig = ExtractorConfig()): DataFrame =
-    Metrics.computePerformance(evalSamples(pages, gold, cfg))
+      cfg: ExtractorConfig = ExtractorConfig(),
+      questionFirst: Boolean = false): DataFrame =
+    Metrics.computePerformance(evalSamples(pages, gold, cfg, questionFirst))
 
   /** Eval over a PERSISTED encoded_samples stage
     * ([[graft.pipeline.Pipeline.runEncode]]) — the production S4 path:

@@ -9,6 +9,26 @@ import graft.schema._
 /** Evaluation — faithful to utils/evaluate_funcs.py, expressed as joins and
   * hash aggregations (partial+final for free; no UDAF, no collect).
   */
+/** The dictionary pair the per-type accounting is keyed by.
+  * `compute_performance` is otherwise IDENTICAL between the reference's main
+  * eval and its NER twin (diff-verified: utils/evaluate_funcs_NER.py swaps
+  * `question_dic`/`id2relation` for `entity2id`/`id2entity` and changes
+  * nothing else), so the schema is a parameter here, not a second code path.
+  *
+  * @param id2name   B-tag id → metric-row name (id2relation / id2entity)
+  * @param macroKeys the performance_dic key set the macro average divides by
+  */
+final case class EvalSchema(id2name: Map[Int, String], macroKeys: Seq[String])
+
+object EvalSchema {
+  /** Main eval: keyed by the relation dictionary (evaluate_funcs.py:15,127). */
+  val relation: EvalSchema = EvalSchema(Ontology.id2relation, Ontology.spanTypes)
+  /** NER twin: keyed by the entity dictionaries
+    * (evaluate_funcs_NER.py:15,127; dicts data/data_utils.py:157-200),
+    * macro key set including its zero-row quirks ([[Ontology.nerTypes]]). */
+  val ner: EvalSchema = EvalSchema(Ontology.id2entity, Ontology.nerTypes)
+}
+
 object Metrics {
 
   def round4(d: Double): Double =
@@ -103,13 +123,15 @@ object Metrics {
   /** Aggregate per-question-type metrics. The question type of a row is its
     * gold tag id (get_index_number); negative rows (id 0) contribute to the
     * type they were asked as — pass `askedType` when known. */
-  def computePerformance(samples: Dataset[(Int, EvalSample)]): DataFrame = {
+  def computePerformance(samples: Dataset[(Int, EvalSample)],
+      schema: EvalSchema = EvalSchema.relation): DataFrame = {
     val spark = samples.sparkSession
     import spark.implicits._
+    val id2name = schema.id2name
     val rows = samples.map { case (askedType, s) =>
       val r = evalRow(s)
       val t = if (r.questionType != 0) r.questionType else askedType
-      (Ontology.id2relation.getOrElse(t, "<unk>"), r.tpPrecise, r.tpBlurred, r.numPre, r.numGold, r.matchCount)
+      (id2name.getOrElse(t, "<unk>"), r.tpPrecise, r.tpBlurred, r.numPre, r.numGold, r.matchCount)
     }.toDF("question_type", "tp_precise", "tp_blurred", "num_pre", "num_gold", "match_count")
 
     val agg = rows.groupBy("question_type").agg(
@@ -140,9 +162,11 @@ object Metrics {
     * regression with. Span lists serialize as "start:end;start:end" so the
     * output is flat and sortable. Negative rows decode the pred with its own
     * first tag id, as the reference does. */
-  def perSampleEval(samples: Dataset[(Int, EvalSample)]): DataFrame = {
+  def perSampleEval(samples: Dataset[(Int, EvalSample)],
+      schema: EvalSchema = EvalSchema.relation): DataFrame = {
     val spark = samples.sparkSession
     import spark.implicits._
+    val id2name = schema.id2name
     samples.map { case (askedType, s) =>
       val idx = Spans.indexNumber(s.goldLabel)
       val goldSpans = if (idx != 0) Spans.indicesFromLabel(s.goldLabel, idx) else Nil
@@ -158,7 +182,7 @@ object Metrics {
       val r = evalRow(s)
       val t = if (r.questionType != 0) r.questionType else askedType
       def fmt(sp: Seq[Span]) = sp.map(x => s"${x.start}:${x.end}").mkString(";")
-      (Ontology.id2relation.getOrElse(t, "<unk>"), fmt(goldSpans), fmt(predSpans),
+      (id2name.getOrElse(t, "<unk>"), fmt(goldSpans), fmt(predSpans),
         r.tpPrecise, r.tpBlurred, r.numPre, r.numGold, r.matchCount)
     }.toDF("question_type", "answer_gold", "answer_pred",
       "tp_precise", "tp_blurred", "num_pre", "num_gold", "match_count")
@@ -171,15 +195,16 @@ object Metrics {
     graft.io.TableIO.writeStage(perType, path, "metrics", "question_type", 1, snapshot,
       completeInput = true)
 
-  /** Macro scores over ALL 17 types (zero rows included, as the reference
-    * iterates the full performance_dic key set) + acc = matched spans /
+  /** Macro scores over the schema's FULL key set (zero rows included, as the
+    * reference iterates every performance_dic key) + acc = matched spans /
     * samples. */
-  def macroScores(perType: DataFrame, numSamples: Long)(implicit spark: SparkSession): Map[String, Double] = {
+  def macroScores(perType: DataFrame, numSamples: Long,
+      schema: EvalSchema = EvalSchema.relation)(implicit spark: SparkSession): Map[String, Double] = {
     import spark.implicits._
     val present = perType
       .select("question_type", "precision_precise", "recall_precise", "f1_precise", "match_count")
       .as[(String, Double, Double, Double, Long)].collect().map(r => r._1 -> r).toMap
-    val types = Ontology.spanTypes
+    val types = schema.macroKeys
     def avgOf(f: ((String, Double, Double, Double, Long)) => Double) =
       types.map(t => present.get(t).map(f).getOrElse(0.0)).sum / types.size
     val matched = present.values.map(_._5).sum.toDouble

@@ -463,7 +463,8 @@ final class Kernel(val cfg: KernelConfig, vocabSize: Int) extends Serializable {
     * dispatch, while here the per-layer weights (≤16KB) are already
     * L1/L2-resident across consecutive rows, so the batched shape is
     * fidelity + fewer per-call fills, not a FLOP reduction. */
-  def tagBatch(reqs: Array[(EncodedRow, List[Span], Int)]): Array[Array[Int]] = {
+  def tagBatch(reqs: Array[(EncodedRow, List[Span], Int)],
+      questionFirst: Boolean = false): Array[Array[Int]] = {
     if (reqs.isEmpty) return Array.empty
     val sc = scratch.get()
     val n = reqs.length
@@ -516,13 +517,27 @@ final class Kernel(val cfg: KernelConfig, vocabSize: Int) extends Serializable {
       val fullLen = fullLens(i)
       var t = 0
       while (t < fullLen) { logits((off + t) * numLabels + 1) += cfg.oBias; t += 1 } // 'O'
+      // context char c sits at token position 1 + c (context-first) or
+      // 2 + lenQuestion + c (question_first=True layout)
+      val ctxBase = if (questionFirst) 2 + row.lenQuestion else 1
       biasSpans.foreach { sp =>
-        val bPos = 1 + sp.start
+        val bPos = ctxBase + sp.start
         if (bPos < fullLen) logits((off + bPos) * numLabels + tagB) += cfg.spanBias
         var p = bPos + 1
-        while (p <= sp.end && p < fullLen) { logits((off + p) * numLabels + tagB + 1) += cfg.spanBias; p += 1 }
+        while (p <= ctxBase - 1 + sp.end && p < fullLen) { logits((off + p) * numLabels + tagB + 1) += cfg.spanBias; p += 1 }
       }
-      out(i) = viterbi(logits, off, 1, 1 + row.lenContext, fullLen, sc)
+      // decode slice: context-first takes elements [0, lenCtx) of the
+      // CLS-stripped decode = positions [1, 1 + lenCtx). question_first
+      // reproduces the reference's slice `[2 + lenQ, 2 + lenQ + lenCtx)`
+      // OVER the already-CLS-stripped list (evaluate_funcs.py:433-436) =
+      // positions [3 + lenQ, 3 + lenQ + lenCtx) — ONE PAST the true context
+      // start, so every tag is the next char's and the last is the closing
+      // [SEP]'s. Off-by-one quirk of the default-off variant: reproduced,
+      // not fixed (the gold labels slice exactly, so P/R degrades — which
+      // is what the reference computes when the flag is on).
+      out(i) =
+        if (questionFirst) viterbi(logits, off, 3 + row.lenQuestion, fullLen, fullLen, sc)
+        else viterbi(logits, off, 1, 1 + row.lenContext, fullLen, sc)
       i += 1
     }
     out

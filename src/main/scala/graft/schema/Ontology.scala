@@ -118,4 +118,41 @@ object Ontology {
     * utils/evaluate_funcs.py:126-137. */
   val spanTypes: Seq[String] =
     questionDic.keys.filterNot(k => k.contains("-") || k == "<unk>" || k == "O").toSeq
+
+  // ------------------------------------------------------------------
+  // NER-schema twin dictionaries (data/data_utils.py:157-200) — the eval
+  // twin utils/evaluate_funcs_NER.py is diff-identical to the main eval
+  // except it keys the accounting by these instead of question_dic/
+  // id2relation. Reproduced verbatim, including the `I_email` underscore
+  // typo (data/data_utils.py:185).
+  // ------------------------------------------------------------------
+
+  /** entity2id — data/data_utils.py:157-186. */
+  val entity2id: ListMap[String, Int] = ListMap(
+    "Others" -> 0, "<SPEC>" -> 1,
+    "position" -> 2, "movie" -> 4, "address" -> 6, "book" -> 8,
+    "government" -> 10, "game" -> 12, "company" -> 14, "organization" -> 16,
+    "mobile" -> 18, "scene" -> 20, "name" -> 22, "email" -> 24,
+    "I-position" -> 3, "I-movie" -> 5, "I-address" -> 7, "I-book" -> 9,
+    "I-government" -> 11, "I-game" -> 13, "I-company" -> 15,
+    "I-organization" -> 17, "I-mobile" -> 19, "I-scene" -> 21,
+    "I-name" -> 23, "I_email" -> 25
+  )
+
+  /** id2entity — data/data_utils.py:187-200 (B ids only). */
+  val id2entity: Map[Int, String] = Map(
+    2 -> "position", 4 -> "movie", 6 -> "address", 8 -> "book",
+    10 -> "government", 12 -> "game", 14 -> "company", 16 -> "organization",
+    18 -> "mobile", 20 -> "scene", 22 -> "name", 24 -> "email"
+  )
+
+  /** The NER twin's performance_dic key set: entity2id keys through the
+    * SAME filter the main eval applies to question_dic (drop keys containing
+    * '-' and the <unk>/O/<START>/<STOP> sentinels,
+    * evaluate_funcs_NER.py:127-128) — which KEEPS `Others`, `<SPEC>`, and
+    * `I_email` (underscore, not dash) as permanent zero-count metric rows
+    * that deflate the macro average. Reference quirk, reproduced not fixed. */
+  val nerTypes: Seq[String] =
+    entity2id.keys.filterNot(k => k.contains("-") ||
+      Set("<unk>", "O", "<START>", "<STOP>").contains(k)).toSeq
 }

@@ -70,6 +70,69 @@ class ParitySpec extends SparkSpec {
     assert(math.abs(macros("acc") - perf.get("acc").asDouble()) < 1e-9)
   }
 
+  test("question_first=True variant: q-first layout and the reference's one-off decode slice") {
+    import graft.encode.{CharVocab, Encoder}
+    import graft.model.KernelConfig
+    val kernel = graft.pipeline.ExtractorModel.get(KernelConfig())._2
+    val context = "胸部CT检查所" // 7 chars
+    val question = "位置在哪"    // 4 chars
+    val qf = Encoder.encodeQuestionFirst(context, question, 64)
+    val cf = Encoder.encode(context, question, 64)
+    assert(qf.lenContext === cf.lenContext && qf.lenQuestion === cf.lenQuestion)
+    // layout: [CLS] question [SEP] context [SEP], segment 1 on the SECOND seq
+    assert(qf.inputIds(0) === CharVocab.CLS)
+    assert(qf.inputIds.slice(1, 5).toSeq === question.map(CharVocab.id))
+    assert(qf.inputIds(5) === CharVocab.SEP)
+    assert(qf.inputIds.slice(6, 13).toSeq === context.map(CharVocab.id))
+    assert(qf.inputIds(13) === CharVocab.SEP)
+    assert(qf.segmentIds.slice(0, 6).forall(_ === 0) &&
+      qf.segmentIds.slice(6, 14).forall(_ === 1))
+    // decode slice: a strong gazetteer bias at context chars [2,5) surfaces
+    // at [2,5) under context-first, but at [1,4) under question_first — the
+    // reference slices `[2+lenQ, 2+lenQ+lenCtx)` over the already-CLS-
+    // stripped decode (evaluate_funcs.py:433-436), one past the true
+    // context start. Quirk reproduced, not fixed.
+    val tagB = 8
+    val span = List(Span(2, 5))
+    val predCF = kernel.tagBatch(Array((cf, span, tagB)))(0)
+    val predQF = kernel.tagBatch(Array((qf, span, tagB)), questionFirst = true)(0)
+    assert(predCF.length === cf.lenContext && predQF.length === qf.lenContext)
+    assert(predCF(2) === tagB && predCF(3) === tagB + 1 && predCF(4) === tagB + 1,
+      s"context-first pred=${predCF.mkString(",")}")
+    assert(predQF(1) === tagB && predQF(2) === tagB + 1 && predQF(3) === tagB + 1,
+      s"question-first pred must shift one left, got ${predQF.mkString(",")}")
+  }
+
+  test("NER-schema eval twin: identical arithmetic keyed by the entity dicts") {
+    import graft.eval.EvalSchema
+    val gold = Array(2, 3, 3, 0, 0) // one span of type id 2 at [0,3)
+    val samples = Seq(
+      (2, EvalSample(2, gold, gold)), // exact hit
+      (14, EvalSample(14, Array(0, 0, 0, 0), Array(1, 1, 1, 1)))) // negative, all-equal pred
+    val ds = spark.createDataset(samples)(
+      org.apache.spark.sql.Encoders.product[(Int, EvalSample)])
+    val ner = Metrics.computePerformance(ds, EvalSchema.ner).collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val rel = Metrics.computePerformance(ds).collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    // only the names change (the twin is a dict swap, diff-verified):
+    // id 2 = position/Mass, id 14 = company/Pleura
+    assert(ner.keySet === Set("position", "company"))
+    assert(rel.keySet === Set("Mass", "Pleura"))
+    assert(ner("position") === rel("Mass"))
+    assert(ner("company") === rel("Pleura"))
+    // the NER macro divides by the quirky 15-key performance_dic —
+    // `Others`, `<SPEC>`, and `I_email` (underscore!) survive the main
+    // eval's '-'/sentinel filter and sit as permanent zero rows
+    assert(graft.schema.Ontology.nerTypes.toSet === Set("Others", "<SPEC>",
+      "position", "movie", "address", "book", "government", "game", "company",
+      "organization", "mobile", "scene", "name", "email", "I_email"))
+    val macros = Metrics.macroScores(
+      Metrics.computePerformance(ds, EvalSchema.ner), 2, EvalSchema.ner)(spark)
+    assert(macros("precision") === Metrics.round4(2.0 / 15))
+    assert(macros("f1") === Metrics.round4(2.0 / 15))
+  }
+
   test("T1/T2/T3: 300 randomized adversarial strings match the reference byte-for-byte") {
     // the north_rule's #1 invariant (byte-identical extracted text per url),
     // machine-checked against the reference's own clean_data/process_sent on
