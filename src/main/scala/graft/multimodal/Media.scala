@@ -8,15 +8,17 @@ import org.apache.spark.sql.functions._
 import graft.ops.Hashing
 
 /** Multimodal columns: image/audio/video as opaque `binary` with typed
-  * metadata (task brief: make the Spark-side plumbing — schema, partitioning,
-  * batch shape — real; STUB the codec).
+  * metadata.
   *
   * Container format for the synthetic corpus (deterministic, self-describing):
   * `"GRFT" | kind:1B (0=image 1=audio 2=video) | width:2B BE | height:2B BE |
-  * payload…`. [[decodeStub]] is the clearly-marked stand-in for a real codec
-  * (libjpeg/ffmpeg are not in this container); everything around it — the
-  * binary column, header parse, per-partition batched decode loop, frame
-  * explode, feature projection — is the production shape.
+  * payload…`. IMAGE payloads are REAL 24-bpp BMP files ([[Codec]] — a
+  * self-contained byte→pixel decoder, since libjpeg/ffmpeg aren't in this
+  * container), so the feature path exercises true decoding end to end;
+  * [[decodeStub]] remains the clearly-marked stand-in for formats without a
+  * bundled codec (the synthetic audio/video streams). Everything around the
+  * decode — the binary column, header parse, per-partition batched loop,
+  * frame explode, feature projection — is the production shape.
   */
 object Media {
 
@@ -41,15 +43,21 @@ object Media {
       val kind = (i % 3).toInt
       val w = 16 + (i % 48).toInt
       val h = 16 + (i % 32).toInt
-      val payloadLen = kind match {
+      val streamLen = kind match {
         case KIND_VIDEO => FRAME_BYTES * (2 + (i % 7).toInt) // 2..8 frames
         case KIND_AUDIO => 512 + (i % 512).toInt
-        case _ => w * h / 4
+        case _ => w * h * 3 // RGB raster for the real BMP below
       }
-      val payload = new Array[Byte](payloadLen)
+      val stream = new Array[Byte](streamLen)
       var j = 0
       var s = Hashing.splitmix64(seed * 31 + i)
-      while (j < payloadLen) { s = Hashing.splitmix64(s); payload(j) = s.toByte; j += 1 }
+      while (j < streamLen) { s = Hashing.splitmix64(s); stream(j) = s.toByte; j += 1 }
+      // image payloads are REAL files: the seeded bytes become the pixel
+      // raster of a 24-bpp BMP, so the decode path does true byte→pixel work
+      val payload =
+        if (kind == KIND_IMAGE) Codec.encodeBmp(Codec.Pixels(w, h, stream))
+        else stream
+      val payloadLen = payload.length
       val blob = new Array[Byte](9 + payloadLen)
       System.arraycopy(MAGIC, 0, blob, 0, 4)
       blob(4) = kind.toByte
@@ -81,13 +89,21 @@ object Media {
     media.mapPartitions(_.map(m => parseHeader(m.url, m.media)))
   }
 
-  // ------------------------------------------------------------ decode stub
+  // ------------------------------------------------------------ decode
 
-  /** STUB — deterministic stand-in for the real image/audio decode (the
-    * actual codec libraries are not available in this container). Returns a
-    * fixed-shape "pixel" buffer derived from the payload so downstream
+  /** Payload decode: REAL codec first — [[Codec.decodeImage]] parses 24-bpp
+    * BMP and binary PPM byte-exactly — with [[decodeStub]] as the documented
+    * fallback for formats without a bundled decoder. The strict parsers
+    * cannot misfire on arbitrary bytes (header arithmetic is cross-checked
+    * against the blob length), so the dispatch is safe on mixed corpora. */
+  def decode(meta: MediaMeta, payload: Array[Byte]): Array[Byte] =
+    Codec.decodeImage(payload).map(_.data).getOrElse(decodeStub(meta, payload))
+
+  /** STUB — deterministic stand-in for decoders not bundled here (the
+    * synthetic audio/video streams; ffmpeg is not in this container).
+    * Returns a fixed-shape buffer derived from the payload so downstream
     * plumbing (batching, feature extraction, resize arithmetic) is exercised
-    * with realistic shapes. Swap body for libjpeg/ffmpeg on a real cluster. */
+    * with realistic shapes. Swap body for a real codec on a real cluster. */
   def decodeStub(meta: MediaMeta, payload: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](math.max(meta.width * meta.height, 1))
     // poison-pill tolerance: a valid header with an EMPTY payload decodes to
@@ -118,9 +134,10 @@ object Media {
     })
   }
 
-  /** Batched per-partition feature extraction (decode stub → 32-dim float
-    * projection). The `grouped(batchSize)` loop is the batch shape a real
-    * GPU/codec kernel needs; the projection is deterministic. */
+  /** Batched per-partition feature extraction (decode — real codec for
+    * image payloads, stub otherwise — → 32-dim float projection). The
+    * `grouped(batchSize)` loop is the batch shape a real GPU/codec kernel
+    * needs; the projection is deterministic. */
   def features(media: Dataset[MediaRow], dim: Int = 32, batchSize: Int = 64): Dataset[MediaFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -129,7 +146,7 @@ object Media {
         batch.map { m =>
           val meta = parseHeader(m.url, m.media)
           val decoded =
-            if (meta.valid) decodeStub(meta, m.media.drop(9)) else Array.empty[Byte]
+            if (meta.valid) decode(meta, m.media.drop(9)) else Array.empty[Byte]
           val feat = new Array[Float](dim)
           var i = 0
           while (i < decoded.length) {
