@@ -11,6 +11,13 @@ import graft.synth.Corpus
   *    cpus) on the SAME synthetic input — the sandbox evidence for the
   *    north_rule's N→4N executor scaling-efficiency ≥ 0.8 criterion
   *    (BASELINE.md "target: scaling"): eff = thr(4N) / (4 · thr(N)).
+  *  - "multi_jvm": the SAME extraction under `local-cluster[2,8,4096]` —
+  *    two forked executor JVMs, real closure/broadcast serialization and
+  *    per-executor model singletons — checked bit-identical (count +
+  *    order-independent checksum) against this process's local-mode run.
+  *  - "scale10x": the heavy dedup/LSH operators at a base corpus and at
+  *    10× ([[graft.synth.WebDocs]]), reporting per-op growth factors —
+  *    linear-with-log growth is the pass shape, a quadratic cliff the fail.
   *  - streaming extraction throughput (AvailableNow + exactly-once sink +
   *    checkpoint) on a fresh synthetic drop, as the "streaming" key.
   */
@@ -133,6 +140,73 @@ object Bench {
         f""""scaling_efficiency_n_to_4n":$eff%.3f,"round_efficiencies":$effsJson,""" +
         f""""triples_per_sec_full":${runs.last._4}%.1f}"""
 
+    // ---- phase 2b: multi-JVM execution proof (north_rule runs via
+    // spark-submit on multi-executor clusters): extraction through REAL
+    // forked executor processes, bit-identity asserted vs local mode
+    val mjJson = {
+      if (cpus != runs.last._1) { spark.stop(); spark = session(cpus) }
+      val (lc, lh) = graft.tools.ClusterProbe.extractChecksum(spark, kgDocs)
+      spark.stop()
+      val cl = SparkSessionFactory.cluster("local-cluster[2,8,4096]", "graft-bench-mj")
+      // warm executor JVMs (model singleton load + JIT) before timing
+      Extract.triples(Corpus.pages(cl, 200, seed = 5, noisyFrac = 0.0).toDF()).count()
+      val ((cc, ch), mjSec) = time(graft.tools.ClusterProbe.extractChecksum(cl, kgDocs))
+      cl.stop()
+      spark = session(cpus)
+      f"""{"master":"local-cluster[2,8,4096]","docs":$kgDocs,"triples":$cc,""" +
+        f""""sec":$mjSec%.2f,"triples_per_sec":${cc / mjSec}%.1f,""" +
+        f""""checksum_match":${lc == cc && lh == ch}}"""
+    }
+
+    // ---- phase 2c: 10× growth factors for the heavy dedup/LSH operators
+    // (same parameters as the registered queries) over WebDocs corpora
+    // written to parquet — real scans, pushdown and all
+    val scaleJson = {
+      import org.apache.spark.sql.functions.col
+      import graft.ops.{Dedup, Sampling, TextStats}
+      val baseDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "10000").toLong
+      val baseVecs = sys.env.getOrElse("SPARK_GRAFT_SCALE_VECS", "5000").toLong
+      val root = java.nio.file.Files.createTempDirectory("graft-bench-scale").toString
+      try {
+        for ((n, tag) <- Seq((baseDocs, "1"), (baseDocs * 10, "10"))) {
+          graft.synth.WebDocs.documents(spark, n, seed = 77)
+            .write.parquet(s"$root/docs$tag")
+          graft.synth.WebDocs.embeddings(spark,
+            if (tag == "1") baseVecs else baseVecs * 10, seed = 78)
+            .write.parquet(s"$root/emb$tag")
+        }
+        def ops(tag: String): Seq[(String, () => Long)] = {
+          def docs = spark.read.parquet(s"$root/docs$tag")
+          def emb = spark.read.parquet(s"$root/emb$tag")
+          Seq(
+            "lsh_minhash_dedup" -> (() => Dedup.minhashLsh(docs, "doc_id", "text",
+              shingleN = 8, k = 16, bands = 4, threshold = 0.2).count()),
+            "simhash_pairs" -> (() => Dedup.simhashPairs(docs, "doc_id", "text",
+              maxHamming = 3).count()),
+            "winnow_overlap_pairs" -> (() => Dedup.winnowedOverlapPairs(docs,
+              "doc_id", "text", k = 16, w = 8, minShared = 3).count()),
+            "emb_near_dup_lsh" -> (() => Dedup.embeddingNearDup(emb, "vec_id",
+              "embedding", threshold = 0.45, localThreshold = 0L).count()),
+            "curation_pipeline" -> { () =>
+              val gated = docs
+                .filter(TextStats.qualityScore(col("text")) >= 0.5)
+                .filter(TextStats.langGuess(col("text")) === "latin")
+              val sampled = Sampling.hashStratified(gated, "lang", "doc_id",
+                Map("en" -> 0.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0), salt = "graft")
+              TextStats.tfidfTopK(Dedup.exactKeepers(sampled, "doc_id", "text"),
+                "doc_id", "text", k = 3).count()
+            })
+        }
+        val r1 = ops("1").map { case (n, f) => val (r, s) = time(f()); n -> (r, s) }
+        val r10 = ops("10").map { case (n, f) => val (r, s) = time(f()); n -> (r, s) }
+        val perOp = r1.zip(r10).map { case ((n, (rows1, s1)), (_, (rows10, s10))) =>
+          f""""$n":{"sec1":$s1%.2f,"sec10":$s10%.2f,"growth":${s10 / s1}%.2f,""" +
+            f""""rows1":$rows1,"rows10":$rows10}"""
+        }.mkString(",")
+        f"""{"base_docs":$baseDocs,"base_vecs":$baseVecs,$perOp}"""
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+
     // ---- phase 3: streaming extraction throughput (§2.9) — the SAME
     // operator graph under Trigger.AvailableNow with an exactly-once file
     // sink + checkpoint; measured at full width on a fresh synthetic drop
@@ -158,7 +232,8 @@ object Bench {
 
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-        f""""kg_scaling":$kg,"streaming":$streamJson,"sf":"$sfDir"}""")
+        f""""kg_scaling":$kg,"multi_jvm":$mjJson,"scale10x":$scaleJson,""" +
+        f""""streaming":$streamJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

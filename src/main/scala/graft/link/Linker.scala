@@ -38,6 +38,20 @@ object Linker {
       }
   }
 
+  /** LSH band keys of a normalized surface — the ONE definition shared by
+    * the batch self-join and the incremental stream attach
+    * ([[graft.streaming.StreamLink]]): `bands` keys, each a splitmix-
+    * finalized fold over its k/bands minhash lanes. */
+  def bandKeysOf(norm: String, k: Int = 8, bands: Int = 4,
+      shingleN: Int = 2): Seq[Long] = {
+    val mh = Hashing.minhash(Hashing.charShingles(norm, shingleN), k)
+    val rows = k / bands
+    (0 until bands).map { b =>
+      Hashing.splitmix64(
+        (b * rows until (b + 1) * rows).foldLeft(b.toLong)((acc, j) => acc * 31 + mh(j)))
+    }
+  }
+
   /** Candidate same-entity edges via minhash/LSH over char 2-gram shingles
     * of the normalized surface, verified by true Jaccard >= threshold.
     *
@@ -75,14 +89,8 @@ object Linker {
     require(bands >= 1 && k % bands == 0,
       s"minhash lanes k=$k must be a positive multiple of bands=$bands " +
         "(otherwise band keys degenerate or lanes are silently ignored)")
-    val rows = k / bands
     val banded = surf.flatMap { sk =>
-      val mh = Hashing.minhash(Hashing.charShingles(sk.norm, shingleN), k)
-      (0 until bands).map { b =>
-        val key = Hashing.splitmix64(
-          (b * rows until (b + 1) * rows).foldLeft(b.toLong)((acc, j) => acc * 31 + mh(j)))
-        (key, sk.id, sk.norm)
-      }
+      bandKeysOf(sk.norm, k, bands, shingleN).map(key => (key, sk.id, sk.norm))
     }.toDF("bucket", "id", "norm")
 
     // bucket sizes via hash-agg + join (no global sort over the skewed key);
