@@ -383,6 +383,70 @@ object SparkEntry {
       graft.sources.WarcIngest.readWet(s, tmp)
         .select(col("url"), col("warc_ts"), length(col("text")).as("text_len"), col("lang"))
     }),
+    // byte-level WARC reader (rows-only): an adversarial fixture — ISO-8859-1
+    // HTML payload, a two-member .warc.gz, and a WET body quoting the record
+    // delimiter — framed byte-exactly by recordsBytes; the text-scan twin
+    // would transcode or drop each of them
+    "warc_bytes_ingest" -> ((s, dir) => {
+      val tmp = s"$processScratchRoot/warcbytes"
+      val marker = java.nio.file.Paths.get(tmp, "fixture.done")
+      if (!java.nio.file.Files.exists(marker)) {
+        def rec(tpe: String, uri: String, body: Array[Byte], lang: String): Array[Byte] = {
+          val hdr = s"WARC/1.0\r\nWARC-Type: $tpe\r\nWARC-Target-URI: $uri\r\n" +
+            s"WARC-Date: 2026-04-05T06:07:08Z\r\n" +
+            (if (lang != null) s"WARC-Identified-Content-Language: $lang\r\n" else "") +
+            s"Content-Length: ${body.length}\r\n\r\n"
+          hdr.getBytes("US-ASCII") ++ body ++ "\r\n\r\n".getBytes("US-ASCII")
+        }
+        def gz(b: Array[Byte]): Array[Byte] = {
+          val bos = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(bos); g.write(b); g.close()
+          bos.toByteArray
+        }
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+        val iso = "HTTP/1.1 200 OK\r\n\r\n".getBytes("US-ASCII") ++
+          "<html>café über straße</html>".getBytes("ISO-8859-1")
+        java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "mixed.warc"),
+          rec("response", "https://bytes.test/iso", iso, null) ++
+            rec("conversion", "https://bytes.test/delim",
+              "body quoting the WARC/1.0 delimiter token".getBytes("UTF-8"), "eng"))
+        java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "two.warc.gz"),
+          gz(rec("response", "https://bytes.test/gz1",
+            ("HTTP/1.1 200 OK\r\n\r\n<p>one</p>").getBytes("UTF-8"), null)) ++
+            gz(rec("conversion", "https://bytes.test/gz2",
+              "second member text".getBytes("UTF-8"), "deu")))
+        java.nio.file.Files.write(marker, Array.emptyByteArray)
+      }
+      val html = graft.sources.WarcIngest.readWarcHtml(s, tmp)
+        .select(col("url"), xxhash64(col("html")).as("payload_hash"),
+          length(col("html")).as("payload_bytes"))
+      val text = graft.sources.WarcIngest.readWetBytes(s, tmp)
+        .select(col("url"), xxhash64(col("text")).as("payload_hash"),
+          length(col("text")).cast("int").as("payload_bytes"))
+      html.unionByName(text).orderBy("url")
+    }),
+    // incremental entity linking (rows-only): the batch face of
+    // graft.streaming.StreamLink driven for two micro-batches — the second
+    // bridges two published components; output = the full resolution plus
+    // the bridge ledger, so id stability AND the conflict rule are
+    // driver-checked every round
+    "link_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val work = java.nio.file.Files.createTempDirectory("graft_linkinc").toString
+      val docs = Corpus.pages(s, 120, seed = 42, noisyFrac = 0.0).toDF()
+      val triples = Extract.triples(docs)
+      val batch1 = triples.filter(xxhash64(col("url")) % 2 === 0).toDF()
+      val batch2 = triples.filter(xxhash64(col("url")) % 2 =!= 0).toDF()
+      graft.streaming.StreamLink.processBatch(batch1, work, batchId = 0)
+      graft.streaming.StreamLink.processBatch(batch2, work, batchId = 1)
+      val res = graft.streaming.StreamLink.readResolution(s, work)
+        .select(col("surface"), col("canonical_id"), col("canonical_surface"),
+          lit(null).cast("long").as("bridged_id"))
+      val bridges = graft.streaming.StreamLink.readBridges(s, work)
+        .select(lit("__bridge__").as("surface"), col("kept_id").as("canonical_id"),
+          lit(null).cast("string").as("canonical_surface"), col("bridged_id"))
+      res.unionByName(bridges).orderBy("surface", "canonical_id")
+    }),
     "mm_media_meta" -> ((s, dir) =>
       graft.multimodal.Media.metaTable(graft.multimodal.Media.corpus(s, 400, seed = 3))),
     "mm_frame_sample" -> ((s, dir) =>

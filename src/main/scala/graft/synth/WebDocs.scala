@@ -32,8 +32,25 @@ object WebDocs {
     sb.toString
   }
 
-  private val boiler =
-    "subscribe to our newsletter for updates and exclusive offers today. "
+  /** Boilerplate paragraph for variant `v` — variants share no text, so the
+    * mutually-similar cohort is the docs of ONE variant. The variant count
+    * scales with corpus size (n/100), keeping cohorts at a constant ~8 docs:
+    * boilerplate pair counts then grow LINEARLY with n, as they do in real
+    * crawls (a fixed template family appears on a bounded set of sites) —
+    * a fixed variant count would make every 10× corpus quadratically more
+    * pair-dense than the last, benchmarking the corpus, not the operator. */
+  private def boiler(v: Long): String = {
+    var s = Hashing.splitmix64(v * 104729L + 3L)
+    val sb = new StringBuilder
+    var k = 0
+    while (k < 10) {
+      s = Hashing.splitmix64(s)
+      sb.append(word(Math.floorMod(s, 800L).toInt)).append(' ')
+      k += 1
+    }
+    sb.append(f"boil$v%d. ")
+    sb.toString
+  }
 
   private def langOf(i: Long, seed: Long): String = {
     val s = Hashing.splitmix64(seed * 31 + i * 131 + 5)
@@ -49,11 +66,12 @@ object WebDocs {
     * stems — frequent boilerplate-ish words plus a long rare tail), light
     * sentence punctuation, unique closing token (so distinct base docs are
     * never accidental near-dups). */
-  private def baseText(i: Long, seed: Long): String = {
+  private def baseText(i: Long, seed: Long, nTotal: Long): String = {
     var s = Hashing.splitmix64(seed * 1000003L + i * 2654435761L)
     val n = 40 + Math.floorMod(s, 50L).toInt
     val sb = new StringBuilder
-    if (Math.floorMod(i, 13L) == 0L) sb.append(boiler)
+    if (Math.floorMod(i, 13L) == 0L)
+      sb.append(boiler(Math.floorMod(Hashing.splitmix64(i), math.max(nTotal / 100, 1L))))
     var k = 0
     while (k < n) {
       s = Hashing.splitmix64(s)
@@ -70,12 +88,12 @@ object WebDocs {
     * `i % 20 == 7` → exact copy of doc i-1; `i % 10 == 3` → near-dup of doc
     * i-1 (one replaced tail token). Referenced docs are always base docs
     * (7 and 3 differ mod 10, and predecessors land on neither residue). */
-  def docText(i: Long, seed: Long): (String, String) = {
-    if (i > 0 && i % 20 == 7) (baseText(i - 1, seed), langOf(i - 1, seed))
+  def docText(i: Long, seed: Long, nTotal: Long): (String, String) = {
+    if (i > 0 && i % 20 == 7) (baseText(i - 1, seed, nTotal), langOf(i - 1, seed))
     else if (i > 0 && i % 10 == 3) {
-      val b = baseText(i - 1, seed)
+      val b = baseText(i - 1, seed, nTotal)
       (b.dropRight(4) + f"ed$i%d", langOf(i - 1, seed))
-    } else (baseText(i, seed), langOf(i, seed))
+    } else (baseText(i, seed, nTotal), langOf(i, seed))
   }
 
   /** documents-table-shaped frame: (doc_id, text, lang). */
@@ -83,7 +101,7 @@ object WebDocs {
     import spark.implicits._
     val slices = math.max(spark.sparkContext.defaultParallelism * 2, 4)
     spark.range(0, n, 1, slices).map { i =>
-      val (t, l) = docText(i, seed)
+      val (t, l) = docText(i, seed, n)
       (i, t, l)
     }.toDF("doc_id", "text", "lang")
   }
