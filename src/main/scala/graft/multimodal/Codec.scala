@@ -8,8 +8,9 @@ import java.nio.{ByteBuffer, ByteOrder}
   *  - BMP, 24-bpp uncompressed `BITMAPINFOHEADER` (the Windows-bitmap core:
   *    little-endian headers, BGR samples, rows padded to 4 bytes, stored
   *    bottom-up);
-  *  - binary PPM (`P6`, maxval ≤ 255: ASCII header with `#` comments, then
-  *    raw RGB).
+  *  - binary PPM (`P6`, maxval 255 exactly — other maxvals would need
+  *    sample rescaling, breaking the byte-exact contract, so they reject:
+  *    ASCII header with `#` comments, then raw RGB).
   *
   * Decoders are STRICT — magic, header fields, and exact byte counts must
   * all agree with the blob length — so arbitrary payloads (the synthetic
@@ -117,8 +118,11 @@ object Codec {
       v
     }
     val width = nextInt(); val height = nextInt(); val maxval = nextInt()
+    // maxval != 255 would need sample rescaling to stay meaningful — this
+    // decoder's contract is BYTE-exact rasters, so anything else is
+    // rejected rather than silently copied at the wrong scale
     if (width <= 0 || height <= 0 || width > MaxDim || height > MaxDim ||
-      maxval <= 0 || maxval > 255) return None
+      maxval != 255) return None
     pos += 1 // exactly ONE whitespace byte separates maxval from the raster
     val need = width * height * 3
     if (pos + need != blob.length) return None // strict: no trailing junk

@@ -69,9 +69,13 @@ object Dedup {
     * would otherwise emit d²/2 join rows on its own. They still count in
     * each doc's shingle-set size, so the guard can only LOWER a pair's
     * reported jaccard (union stays exact, intersection loses only
-    * boilerplate evidence) — near-identical docs still share plenty of
-    * rare shingles. Default is far above anything a verification-scale
-    * candidate set produces, so results are unchanged there. */
+    * boilerplate evidence). Known blind spot, accepted: a pair whose EVERY
+    * shared shingle is above the cap (docs that consist entirely of a
+    * >maxDocFreq boilerplate — true jaccard 1.0) loses all its evidence
+    * and emits no row; those are exact-duplicate cohorts, which [[exact]]/
+    * [[exactKeepers]] catch by fingerprint with no join at all. Default is
+    * far above anything a verification-scale candidate set produces, so
+    * results are unchanged there. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDocFreq: Int = 1000): DataFrame = {
     val sh = charShingleDF(df, idCol, textCol, n)
@@ -238,7 +242,7 @@ object Dedup {
     * to the driver.
     *
     * ADAPTIVE banding (default, `bits`/`bands` < 0): band width grows with
-    * the corpus — `bandBits = ceil(log2(n/32))` (clamped [8, 20]) keeps
+    * the corpus — `bandBits = ceil(log2(n/32))` (clamped [8, 17]) keeps
     * expected bucket occupancy ≈ constant, so candidate count grows
     * LINEARLY with n instead of the n²/2^bandBits a fixed width degrades to
     * (measured: 16× time for 10× uniform vectors before this change); the
@@ -266,15 +270,27 @@ object Dedup {
     // on a longer row and silently truncate a shorter one. The probe is a
     // bounded LocalLimit job on the persisted input, not a full pass.
     val expectedDim = vecs.head(1).headOption.map(_._2.length).getOrElse(0)
+    // pinning only one of bits/bands would SILENTLY fall into the adaptive
+    // branch — a caller who believes the geometry is fixed must get an
+    // error, not corpus-size-dependent results
+    require((bits > 0) == (bands > 0),
+      "pin BOTH bits and bands, or neither (adaptive)")
     val (bandBits, nBands) =
-      if (bits > 0 && bands > 0) {
+      if (bits > 0) {
         require(bits % bands == 0 && bits / bands <= 63, "bandBits must fit a Long key")
         (bits / bands, bands)
       } else {
         val n = vecs.count() // persisted — one cheap cached pass
         def ceilLog2(x: Long) =
           if (x <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1)
-        val bb = math.min(20, math.max(8, ceilLog2(math.max(n / 32, 1))))
+        // bandBits cap 17 is where the recall formula still fits 64 bands
+        // (ceil(ln0.1 / ln(1 − .823^17)) = 60) — a wider band would need a
+        // clamped band count that silently FORFEITS the ≥90% design-point
+        // recall. Past n ≈ 32·2^17 ≈ 4M vectors occupancy grows again
+        // (linear candidates with a rising constant); deployments beyond
+        // that raise both clamps together, trading fan-out for recall
+        // explicitly rather than silently.
+        val bb = math.min(17, math.max(8, ceilLog2(math.max(n / 32, 1))))
         val p = 1.0 - math.acos(0.85) / math.Pi
         val nb = math.min(64, math.max(8,
           math.ceil(math.log(0.1) / math.log(1.0 - math.pow(p, bb))).toInt))

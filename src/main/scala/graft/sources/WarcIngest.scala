@@ -199,24 +199,32 @@ object WarcIngest {
       if (b < 0) false else { pb.unread(b); true }
     }
 
-    /** Header block up to (excluding) the first CRLFCRLF or LFLF; null if
-      * EOF/oversized/terminator never found. Header bytes are ASCII per
-      * spec; ISO-8859-1 decode is byte-lossless if one isn't. */
+    /** Header block up to (excluding) the first blank line — `\n` followed
+      * by an optional `\r` and another `\n`, which covers CRLFCRLF, LFLF,
+      * and the mixed `\r\n\n` archives in the wild produce; null if EOF /
+      * oversized / terminator never found. A rolling 3-byte tail drives the
+      * detection (a per-byte buffer copy would make a terminator-less
+      * garbage prefix O(MaxHeaderBytes²) — an effective task hang on
+      * exactly the adversarial input this reader exists for). Header bytes
+      * are ASCII per spec; ISO-8859-1 decode is byte-lossless if one isn't. */
     private def readHeaderBlock(): String = {
       val buf = new java.io.ByteArrayOutputStream(512)
+      var p2 = -1; var p1 = -1 // the two bytes before the current one
       var b = pb.read()
       while (b >= 0 && buf.size < MaxHeaderBytes) {
         buf.write(b)
-        val a = buf.toByteArray
-        val n = a.length
-        val crlf = n >= 4 && a(n - 4) == '\r' && a(n - 3) == '\n' &&
-          a(n - 2) == '\r' && a(n - 1) == '\n'
-        val lf = n >= 2 && a(n - 2) == '\n' && a(n - 1) == '\n' &&
-          (n < 3 || a(n - 3) != '\r')
-        if (crlf || lf) {
-          val cut = if (crlf) 4 else 2
-          return new String(a, 0, n - cut, java.nio.charset.StandardCharsets.ISO_8859_1)
+        val cut =
+          if (b == '\n' && p1 == '\n') 2 // ...\n\n
+          else if (b == '\n' && p1 == '\r' && p2 == '\n') 3 // ...\n\r\n
+          else 0
+        if (cut > 0) {
+          val a = buf.toByteArray
+          // CRLFCRLF lands on the \n\r\n case with the first \r kept — trim it
+          var end = a.length - cut
+          if (end > 0 && a(end - 1) == '\r') end -= 1
+          return new String(a, 0, end, java.nio.charset.StandardCharsets.ISO_8859_1)
         }
+        p2 = p1; p1 = b
         b = pb.read()
       }
       null

@@ -35,9 +35,8 @@ import graft.schema.Triple
   *  - `surfaces/`: surface → (norm, id, canonical_id, canonical_surface)
   *  - `bands/`:    LSH band key → (id, norm, canonical_id, canonical_surface)
   *  - `bridges/`:  (kept_id, bridged_id)
-  *  - `triples/`:  per-batch canonical triples with per-batch url support
-  *    (the exactly-once file source delivers each url once, so summing
-  *    per-batch counts equals the batch-mode countDistinct)
+  *  - `triples/`:  url-grain canonical-triple provenance rows (readers
+  *    aggregate countDistinct(url), exact under any delivery guarantee)
   */
 object StreamLink {
 
@@ -51,14 +50,21 @@ object StreamLink {
     StructField("canonical_surface", StringType)))
 
   /** State read for batch `batchId`: only partitions from EARLIER batches —
-    * a replayed batch must not see its own failed attempt's output. */
+    * a replayed batch must not see its own failed attempt's output. A state
+    * dir that exists but holds no committed parquet footer yet (the very
+    * first batch's write died mid-flight, leaving only `_temporary`) reads
+    * as empty rather than wedging every replay on a schema-inference error
+    * — that crash window is exactly what the replay contract covers. */
   private def readState(spark: SparkSession, path: String, schema: StructType,
       batchId: Long): DataFrame = {
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.parquet(path).filter(col("batch") < batchId)
+    if (!fs.exists(p)) empty
+    else try spark.read.parquet(path).filter(col("batch") < batchId)
       .select(schema.fieldNames.map(col).toSeq: _*)
+    catch { case _: org.apache.spark.sql.AnalysisException => empty }
   }
 
   private def jaccardOk(na: String, nb: String, shingleN: Int, threshold: Double): Boolean =
@@ -87,24 +93,74 @@ object StreamLink {
         Linker.bandKeysOf(norm, shingleN = shingleN).map(b => (b, id, norm))
       }.toDF("bucket", "id", "norm")
 
-    // candidate edges among the batch's new surfaces, Jaccard-verified
-    val nn = newBands.as("a").join(newBands.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("src"), col("b.id").as("dst"),
-        col("a.norm").as("na"), col("b.norm").as("nb"))
+    // ---- candidate pairs under the hot-band guard (same discipline as
+    // Linker.candidateEdgesLazy): the state side is first semi-joined to
+    // the batch's band values (candidates only — the attach cost is
+    // O(batch × candidates), never O(state)), then band values whose
+    // combined new ∪ candidate-existing membership exceeds `bucketCap`
+    // switch from the all-pairs join to bounded sorted-neighborhood
+    // pairing over the norm — one templated surface family in the state
+    // must not make every later micro-batch quadratic
+    val bucketCap = 1000
+    val exCand = exBands.join(newBands.select("bucket").distinct(), Seq("bucket"), "left_semi")
+    val tagged = newBands
+      .select(col("bucket"), col("id"), col("norm"), lit(true).as("is_new"),
+        lit(null).cast("long").as("cid"), lit(null).cast("string").as("rep"))
+      .unionByName(exCand.select(col("bucket"), col("id"), col("norm"),
+        lit(false).as("is_new"), col("canonical_id").as("cid"),
+        col("canonical_surface").as("rep")))
+    val sizes = tagged.groupBy("bucket").agg(count(lit(1)).as("bn"))
+    val sized = tagged.join(sizes, "bucket").persist()
+    val small = sized.filter(col("bn") <= bucketCap)
+    val big = sized.filter(col("bn") > bucketCap)
+    // every emitted pair is anchored on a NEW surface; new-new pairs once
+    // (id order), new-existing pairs regardless of id order
+    val smallPairs = small.as("a").join(small.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          (col("a.id") < col("b.id") || (col("a.is_new") && !col("b.is_new"))))
+      .filter(col("a.is_new"))
+      .select(col("a.id").as("nid"), col("a.norm").as("na"),
+        col("b.id").as("oid"), col("b.norm").as("nb"),
+        col("b.is_new").as("other_new"), col("b.cid").as("ex_cid"),
+        col("b.rep").as("ex_rep"))
+    val bigPairs =
+      if (big.isEmpty) smallPairs.limit(0)
+      else {
+        val meta = tagged.select("id", "norm", "is_new", "cid", "rep").distinct()
+        def side(pfx: String) = meta.select(col("id").as(pfx),
+          col("norm").as(s"${pfx}_norm"), col("is_new").as(s"${pfx}_new"),
+          col("cid").as(s"${pfx}_cid"), col("rep").as(s"${pfx}_rep"))
+        val sn = graft.ops.Neighborhood.sortedNeighborhoodPairs(
+            big.select(xxhash64(col("bucket")).as("bucket"), col("id"),
+              col("norm").as("sort")), 8)
+          .select("src", "dst").join(side("src"), "src").join(side("dst"), "dst")
+        sn.filter(col("src_new"))
+          .select(col("src").as("nid"), col("src_norm").as("na"),
+            col("dst").as("oid"), col("dst_norm").as("nb"),
+            col("dst_new").as("other_new"), col("dst_cid").as("ex_cid"),
+            col("dst_rep").as("ex_rep"))
+          .unionByName(sn.filter(col("dst_new") && !col("src_new"))
+            .select(col("dst").as("nid"), col("dst_norm").as("na"),
+              col("src").as("oid"), col("src_norm").as("nb"),
+              lit(false).as("other_new"), col("src_cid").as("ex_cid"),
+              col("src_rep").as("ex_rep")))
+      }
+    val cand = smallPairs.unionByName(bigPairs)
+
+    // Jaccard-verified edges among the batch's new surfaces (direction is
+    // irrelevant — ConnectedComponents canonicalizes edges)
+    val nn = cand.filter(col("other_new"))
+      .select(col("nid").as("src"), col("oid").as("dst"), col("na"), col("nb"))
       .distinct()
       .as[(Long, Long, String, String)]
       .flatMap { case (s, d, na, nb) =>
         if (jaccardOk(na, nb, shingleN, threshold)) Some((s, d)) else None
       }.toDF("src", "dst")
 
-    // attachments: new surface → existing canonical component (the
-    // incremental join this operator exists for — candidates only, via the
-    // SAME band keys the batch path uses)
-    val ne = newBands.as("a").join(exBands.as("b"), "bucket")
-      .select(col("a.id").as("nid"), col("a.norm").as("na"),
-        col("b.norm").as("nb"), col("b.canonical_id").as("ex_cid"),
-        col("b.canonical_surface").as("ex_rep"))
+    // verified attachments: new surface → existing canonical component (the
+    // incremental join this operator exists for)
+    val ne = cand.filter(!col("other_new"))
+      .select(col("nid"), col("na"), col("nb"), col("ex_cid"), col("ex_rep"))
       .distinct()
       .as[(Long, String, String, Long, String)]
       .flatMap { case (nid, na, nb, cid, rep) =>
@@ -152,7 +208,11 @@ object StreamLink {
       }.toDF("bucket", "id", "norm", "canonical_id", "canonical_surface"), "bands")
     overwrite(bridges, "bridges")
 
-    // this batch's canonical triples under the full (old ∪ new) resolution
+    // this batch's canonical (triple, url) provenance rows under the full
+    // (old ∪ new) resolution — url-grain, NOT pre-aggregated: summing
+    // per-batch counts would double-count a url re-delivered in a later
+    // batch (re-crawl appended to the drop dir, a non-file source), so the
+    // reader aggregates countDistinct over the provenance instead
     val res = exSurf.select("surface", "canonical_id", "canonical_surface")
       .unionByName(assigned.select("surface", "canonical_id", "canonical_surface"))
     val subjRes = res.select(col("surface").as("subject"),
@@ -161,12 +221,11 @@ object StreamLink {
       col("canonical_id").as("objectId"), col("canonical_surface").as("objectCanon"))
     overwrite(triples.toDF()
       .join(subjRes, "subject").join(objRes, "obj")
-      .groupBy("subjectId", "subjectCanon", "subjectType", "relation",
-        "objectId", "objectCanon", "objectType")
-      .agg(countDistinct("url").as("urls"))
       .select(col("subjectId"), col("subjectCanon").as("subject"), col("subjectType"),
         col("relation"), col("objectId"), col("objectCanon").as("obj"),
-        col("objectType"), col("urls")), "triples")
+        col("objectType"), col("url"))
+      .distinct(), "triples")
+    sized.unpersist()
   }
 
   /** Streaming face: triples stream → per-micro-batch incremental linking. */
@@ -183,13 +242,15 @@ object StreamLink {
     spark.read.parquet(s"$stateDir/surfaces")
       .select("surface", "canonical_id", "canonical_surface")
 
-  /** Aggregated canonical triples across batches (per-batch url support
-    * summed — exact under the exactly-once file source). */
+  /** Aggregated canonical triples across batches. Support counts are
+    * countDistinct over the url-grain provenance rows, so a url
+    * re-delivered in a later batch counts ONCE — exact regardless of the
+    * source's delivery guarantees. */
   def readCanonicalTriples(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(s"$stateDir/triples")
       .groupBy("subjectId", "subject", "subjectType", "relation",
         "objectId", "obj", "objectType")
-      .agg(sum("urls").as("urls"))
+      .agg(countDistinct("url").as("urls"))
 
   /** Bridge ledger: components published separately that later batches
     * proved equal — the offline compaction work list. */

@@ -73,6 +73,10 @@ class CodecSpec extends AnyFunSuite {
     val ppmTrailing = "P6\n1 1\n255\n".getBytes("US-ASCII") ++
       Array[Byte](1, 2, 3, 4) // one byte too many
     assert(Codec.decodePpm(ppmTrailing).isEmpty)
+    // maxval != 255 would need rescaling — strict reject, never a
+    // wrong-scale raster
+    val ppmMaxval = "P6\n1 1\n15\n".getBytes("US-ASCII") ++ Array[Byte](15, 15, 15)
+    assert(Codec.decodePpm(ppmMaxval).isEmpty)
     assert(Codec.decodeImage(null).isEmpty)
   }
 

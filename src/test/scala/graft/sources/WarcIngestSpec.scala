@@ -244,6 +244,22 @@ class WarcIngestSpec extends SparkSpec {
       s"text scan must drop the unframeable fragment, got $byText")
   }
 
+  test("byte reader: CRLF headers terminated by a bare-LF blank line still frame") {
+    val dir = Files.createTempDirectory("graft-warc-mixed").toString
+    // mixed-delimiter archive: every header line CRLF, blank line a bare \n
+    val body = "mixed delimiter record body"
+    val rec = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "WARC-Target-URI: https://x/mixed\r\n" +
+      s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\n" + body + "\r\n\r\n" +
+      "WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: https://x/after\r\n" +
+      "Content-Length: 2\r\n\r\nok\r\n\r\n").getBytes("UTF-8")
+    Files.write(java.nio.file.Paths.get(dir, "mixed.wet"), rec)
+    val got = WarcIngest.readWetBytes(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(got === Map("https://x/mixed" -> body, "https://x/after" -> "ok"),
+      "a \\r\\n\\n terminator must neither absorb the body nor drop later records")
+  }
+
   test("byte-level WET twin agrees with the text scan on a clean fixture") {
     val dir = Files.createTempDirectory("graft-wet-twin").toString
     WarcIngest.writeWetFixture(dir, n = 30, seed = 13)
