@@ -1,0 +1,100 @@
+package graft.io
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.security.MessageDigest
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.hadoop.conf.Configuration
+
+/** S8 — the remote-file cache, re-realized Spark-native: the reference's
+  * `cached_path`/`get_from_cache` (utils/file_utils.py:83-230) downloads a
+  * URL/S3 object once into a content-addressed local cache (sha256(url) +
+  * sha256(etag) file name, sidecar `.json` metadata) and returns the local
+  * path; local paths pass through, missing ones raise.
+  *
+  * Here the "remote" is anything Hadoop FS can address (`s3a://`, `hdfs://`,
+  * `file://` — which is also what makes the mechanism fully testable in a
+  * zero-egress sandbox), the version tag is the source's (length,
+  * modificationTime) status — the scheme-agnostic analogue of the reference's
+  * ETag — and the consumer is an executor-side singleton that needs a LOCAL
+  * file (the S7 model-weights mmap pattern, `load_big_file`
+  * utils/file_utils.py:251-255): each executor JVM fetches once, every later
+  * task hits the in-memory memo.
+  *
+  * One deliberate upgrade over the reference: the cache entry is written to
+  * a temp file and ATOMICALLY renamed into place (the reference's plain
+  * copy can leave a truncated entry that is then trusted forever if the
+  * process dies mid-copy — at executor scale that is a silent
+  * model-corruption bug, not an inconvenience). Concurrent fetchers of the
+  * same key produce identical bytes; the losing rename simply lands on the
+  * winner's file.
+  */
+object FileCache {
+
+  /** Default per-process cache root (analogue of
+    * PYTORCH_PRETRAINED_BERT_CACHE, utils/file_utils.py:35). */
+  lazy val defaultCacheDir: String = {
+    val d = sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-file-cache"
+    Files.createDirectories(Paths.get(d))
+    d
+  }
+
+  private def sha256(s: String): String =
+    MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  // per-JVM memo: a task after the first pays one map lookup, not an FS stat
+  private val memo = TrieMap.empty[(String, String), String]
+  private val locks = TrieMap.empty[String, Object]
+
+  /** `cached_path` port. A bare existing local path returns itself; a bare
+    * missing one raises FileNotFoundException (utils/file_utils.py:104-107);
+    * any scheme'd URI resolves through the cache, fetching via Hadoop FS on
+    * the first call per (uri, version). */
+  def cachedPath(uri: String, cacheDir: String = defaultCacheDir,
+      conf: Configuration = new Configuration()): String = {
+    val hasScheme = uri.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")
+    if (!hasScheme) {
+      if (Files.exists(Paths.get(uri))) return uri
+      throw new java.io.FileNotFoundException(s"file $uri not found")
+    }
+    memo.getOrElseUpdate((uri, cacheDir), fetch(uri, cacheDir, conf))
+  }
+
+  private def fetch(uri: String, cacheDir: String, conf: Configuration): String = {
+    val src = new org.apache.hadoop.fs.Path(uri)
+    val fs = src.getFileSystem(conf)
+    val st = fs.getFileStatus(src) // FileNotFoundException if absent — as the reference
+    // (length, mtime) is the scheme-agnostic ETag analogue: a changed source
+    // gets a NEW entry, the old one stays addressable (same as the reference)
+    val tag = s"${st.getLen}:${st.getModificationTime}"
+    val name = sha256(uri) + "." + sha256(tag)
+    Files.createDirectories(Paths.get(cacheDir))
+    val dest: Path = Paths.get(cacheDir, name)
+    if (Files.exists(dest)) return dest.toString
+    // per-JVM lock per entry: concurrent first-callers fetch once, not N×
+    val lock = locks.getOrElseUpdate(name, new Object)
+    lock.synchronized {
+      if (!Files.exists(dest)) {
+        val tmp = Files.createTempFile(Paths.get(cacheDir), s".$name.", ".tmp")
+        try {
+          val in = fs.open(src)
+          try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+          finally in.close()
+          // sidecar metadata BEFORE the entry becomes visible — a reader
+          // that can see the entry can always see its provenance
+          Files.writeString(Paths.get(cacheDir, name + ".json"),
+            s"""{"url": ${TableIO.jsonStr(uri)}, "etag": ${TableIO.jsonStr(tag)}}""")
+          try Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+          catch { // non-atomic FS fallback; a concurrent winner is fine
+            case _: java.nio.file.FileAlreadyExistsException => ()
+            case _: java.nio.file.AtomicMoveNotSupportedException =>
+              Files.move(tmp, dest, StandardCopyOption.REPLACE_EXISTING)
+          }
+        } finally Files.deleteIfExists(tmp)
+      }
+    }
+    dest.toString
+  }
+}

@@ -74,6 +74,10 @@ object TableIO {
     case c => c.toString
   }
 
+  /** Quoted JSON string literal — shared by the manifest renderer and
+    * [[FileCache]]'s sidecar metadata. */
+  private[io] def jsonStr(s: String): String = "\"" + esc(s) + "\""
+
   def renderSnapshot(s: Snapshot): String = {
     val bs = s.buckets.sortBy(_.bucket).map(b =>
       s"""{"bucket":${b.bucket},"rowCount":${b.rowCount},"checksum":${b.checksum}}""")

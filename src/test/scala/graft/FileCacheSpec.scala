@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.FileCache
+
+/** S8 remote-file cache: pass-through, miss→fetch→hit, version-keyed
+  * entries, sidecar metadata, concurrency, and error parity with the
+  * reference's `cached_path`. */
+class FileCacheSpec extends AnyFunSuite {
+
+  private def freshDirs(): (String, String) = {
+    val root = Files.createTempDirectory("graft-fcache").toString
+    Files.createDirectories(Paths.get(s"$root/src"))
+    Files.createDirectories(Paths.get(s"$root/cache"))
+    (s"$root/src", s"$root/cache")
+  }
+
+  test("a bare existing local path passes through; a missing one raises") {
+    val (src, cache) = freshDirs()
+    val f = s"$src/weights.bin"
+    Files.write(Paths.get(f), Array[Byte](1, 2, 3))
+    assert(FileCache.cachedPath(f, cache) === f)
+    intercept[java.io.FileNotFoundException] {
+      FileCache.cachedPath(s"$src/nope.bin", cache)
+    }
+    intercept[java.io.FileNotFoundException] {
+      FileCache.cachedPath(s"file://$src/nope.bin", cache)
+    }
+    assert(Files.list(Paths.get(cache)).count() === 0, "pass-through must not populate")
+  }
+
+  test("URI miss fetches once into a content-addressed entry; hits reuse it") {
+    val (src, cache) = freshDirs()
+    val payload = Array.tabulate[Byte](10000)(_.toByte)
+    Files.write(Paths.get(s"$src/model.bin"), payload)
+    val uri = s"file://$src/model.bin"
+    val p1 = FileCache.cachedPath(uri, cache)
+    assert(p1.startsWith(cache) && Files.readAllBytes(Paths.get(p1)).toSeq === payload.toSeq)
+    // sidecar metadata, reference-shaped {url, etag}
+    val meta = Files.readString(Paths.get(p1 + ".json"))
+    assert(meta.contains("\"url\"") && meta.contains(uri) && meta.contains("\"etag\""))
+    val mtime = Files.getLastModifiedTime(Paths.get(p1))
+    val p2 = FileCache.cachedPath(uri, cache)
+    assert(p2 === p1)
+    assert(Files.getLastModifiedTime(Paths.get(p1)) === mtime, "a hit must not re-copy")
+  }
+
+  test("a changed source gets a NEW entry; the old one stays addressable") {
+    val (src, cache) = freshDirs()
+    val f = Paths.get(s"$src/data.bin")
+    Files.write(f, "version one".getBytes)
+    val uri = s"file://$f"
+    val p1 = FileCache.cachedPath(uri, cache)
+    // distinct (length, mtime) tag — also bump mtime explicitly so the test
+    // doesn't depend on filesystem timestamp granularity
+    Files.write(f, "version two, longer".getBytes)
+    Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+    // per-JVM memo caches the OLD resolution by design (an executor's model
+    // stays consistent for the process lifetime); a fresh cacheDir models a
+    // new executor seeing the new version
+    val cache2 = Files.createTempDirectory("graft-fcache2").toString
+    val p2 = FileCache.cachedPath(uri, cache2)
+    assert(Files.readString(Paths.get(p2)) === "version two, longer")
+    assert(Files.readString(Paths.get(p1)) === "version one",
+      "old entries are never invalidated, as in the reference")
+    assert(Paths.get(p1).getFileName.toString !== Paths.get(p2).getFileName.toString,
+      "the version tag must key the entry name")
+  }
+
+  test("concurrent first-callers fetch once and all get intact bytes") {
+    val (src, cache) = freshDirs()
+    val payload = Array.tabulate[Byte](200000)(i => (i * 31).toByte)
+    Files.write(Paths.get(s"$src/big.bin"), payload)
+    val uri = s"file://$src/big.bin"
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(
+      Future.sequence((1 to 8).map(_ => Future(FileCache.cachedPath(uri, cache)))),
+      30.seconds)
+    assert(results.toSet.size === 1)
+    assert(Files.readAllBytes(Paths.get(results.head)).toSeq === payload.toSeq)
+    // exactly one entry + one sidecar, no leftover temp files
+    val files = Files.list(Paths.get(cache)).iterator()
+    var names = List.empty[String]
+    while (files.hasNext) names ::= files.next().getFileName.toString
+    assert(names.count(_.endsWith(".tmp")) === 0, s"leftover temps in $names")
+    assert(names.size === 2, s"expected entry + sidecar, got $names")
+  }
+
+  test("executor-side use: tasks resolve the same local path via the memo") {
+    val spark = SparkSessionFactory.local(4, "fcache-spec")
+    try {
+      val (src, cache) = freshDirs()
+      Files.write(Paths.get(s"$src/shared.bin"), "shared weights".getBytes)
+      val uri = s"file://$src/shared.bin"
+      import spark.implicits._
+      val paths = spark.range(0, 64, 1, 8).mapPartitions { it =>
+        val p = FileCache.cachedPath(uri, cache)
+        it.map(_ => p)
+      }.collect()
+      assert(paths.toSet.size === 1)
+      assert(Files.readString(Paths.get(paths.head)) === "shared weights")
+    } finally spark.stop()
+  }
+}
