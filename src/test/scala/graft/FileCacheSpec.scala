@@ -2,14 +2,14 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import org.scalatest.funsuite.AnyFunSuite
-
 import graft.io.FileCache
 
 /** S8 remote-file cache: pass-through, miss→fetch→hit, version-keyed
   * entries, sidecar metadata, concurrency, and error parity with the
-  * reference's `cached_path`. */
-class FileCacheSpec extends AnyFunSuite {
+  * reference's `cached_path`. Extends the SHARED SparkSpec session — a
+  * suite-local getOrCreate would hand back the shared session and stopping
+  * it would kill every later suite. */
+class FileCacheSpec extends SparkSpec {
 
   private def freshDirs(): (String, String) = {
     val root = Files.createTempDirectory("graft-fcache").toString
@@ -93,18 +93,15 @@ class FileCacheSpec extends AnyFunSuite {
   }
 
   test("executor-side use: tasks resolve the same local path via the memo") {
-    val spark = SparkSessionFactory.local(4, "fcache-spec")
-    try {
-      val (src, cache) = freshDirs()
-      Files.write(Paths.get(s"$src/shared.bin"), "shared weights".getBytes)
-      val uri = s"file://$src/shared.bin"
-      import spark.implicits._
-      val paths = spark.range(0, 64, 1, 8).mapPartitions { it =>
-        val p = FileCache.cachedPath(uri, cache)
-        it.map(_ => p)
-      }.collect()
-      assert(paths.toSet.size === 1)
-      assert(Files.readString(Paths.get(paths.head)) === "shared weights")
-    } finally spark.stop()
+    val (src, cache) = freshDirs()
+    Files.write(Paths.get(s"$src/shared.bin"), "shared weights".getBytes)
+    val uri = s"file://$src/shared.bin"
+    import spark.implicits._
+    val paths = spark.range(0, 64, 1, 8).mapPartitions { it =>
+      val p = FileCache.cachedPath(uri, cache)
+      it.map(_ => p)
+    }.collect()
+    assert(paths.toSet.size === 1)
+    assert(Files.readString(Paths.get(paths.head)) === "shared weights")
   }
 }
