@@ -75,11 +75,14 @@ object Bench {
         }
       }
 
-    // ---- phase 2: KG extraction throughput, small parallelism first
-    def kgRun(s: SparkSession, n: Long): (Long, Double) = {
+    // ---- phase 2: KG extraction throughput, small parallelism first.
+    // The timed job is count + order-independent checksum in ONE action, so
+    // bit-identity across parallelism levels (and, below, across process
+    // boundaries) is asserted by the same run that is being timed.
+    def kgRun(s: SparkSession, n: Long): ((Long, Long), Double) = {
       // tiny warmup so JIT/codegen state is comparable across sessions
       Extract.triples(Corpus.pages(s, 200, seed = 5, noisyFrac = 0.0).toDF()).count()
-      time(Extract.triples(Corpus.pages(s, n, seed = 11, noisyFrac = 0.02).toDF()).count())
+      time(graft.tools.ClusterProbe.extractChecksum(s, n))
     }
 
     // N → 4N pair: N = cpus/8 (4 cores on the 32-core sandbox), 4N = cpus/2,
@@ -94,11 +97,12 @@ object Bench {
     // wanders ±10% over minutes. Efficiency is a RATIO, so N and 4N are
     // measured back-to-back inside the same window (temporally paired), in
     // three alternating-order rounds below, and the best round is reported.
-    def level(c: Int): (Long, Double, Double) = {
+    final case class Level(triples: Long, checksum: Long, sec: Double, thr: Double)
+    def level(c: Int): Level = {
       spark.stop()
       spark = session(c)
-      val (t, s) = kgRun(spark, kgDocs)
-      (t, s, t / s)
+      val ((t, h), s) = kgRun(spark, kgDocs)
+      Level(t, h, s, t / s)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -118,34 +122,33 @@ object Bench {
       val (small, big) =
         if (r % 2 == 1) { val s = level(nSmall); val b = level(n4); (s, b) }
         else { val b = level(n4); val s = level(nSmall); (s, b) }
-      require(small._1 == big._1, s"nondeterministic triples: ${small._1} vs ${big._1}")
-      (small, big, (big._3 / small._3) / (n4.toDouble / nSmall))
+      require(small.triples == big.triples && small.checksum == big.checksum,
+        s"nondeterministic triples: ${small.triples}/${small.checksum} vs " +
+          s"${big.triples}/${big.checksum}")
+      (small, big, (big.thr / small.thr) / (n4.toDouble / nSmall))
     }
     val (bestSmall, bestBig, eff) = rounds.maxBy(_._3)
     val allEffs = rounds.map(_._3)
     val full =
       if (cpus != n4) {
         val a = level(cpus); val b = level(cpus)
-        Some(if (a._3 >= b._3) a else b)
+        Some(if (a.thr >= b.thr) a else b)
       } else None
-    val runs = Seq((nSmall, bestSmall._1, bestSmall._2, bestSmall._3),
-      (n4, bestBig._1, bestBig._2, bestBig._3)) ++
-      full.map(f => (cpus, f._1, f._2, f._3))
-    val runsJson = runs.map { case (c, tr, sec, thr) =>
-      f"""{"cpus":$c,"triples":$tr,"sec":$sec%.2f,"triples_per_sec":$thr%.1f}"""
+    val runs = Seq((nSmall, bestSmall), (n4, bestBig)) ++ full.map((cpus, _))
+    val runsJson = runs.map { case (c, l) =>
+      f"""{"cpus":$c,"triples":${l.triples},"sec":${l.sec}%.2f,"triples_per_sec":${l.thr}%.1f}"""
     }.mkString("[", ",", "]")
     val effsJson = allEffs.map(e => f"$e%.3f").mkString("[", ",", "]")
     val kg =
       f"""{"docs":$kgDocs,"n":$nSmall,"n4":$n4,"runs":$runsJson,""" +
         f""""scaling_efficiency_n_to_4n":$eff%.3f,"round_efficiencies":$effsJson,""" +
-        f""""triples_per_sec_full":${runs.last._4}%.1f}"""
+        f""""triples_per_sec_full":${runs.last._2.thr}%.1f}"""
 
     // ---- phase 2b: multi-JVM execution proof (north_rule runs via
     // spark-submit on multi-executor clusters): extraction through REAL
-    // forked executor processes, bit-identity asserted vs local mode
+    // forked executor processes, bit-identity asserted against the local
+    // scaling runs above (their timed jobs already carry the checksum)
     val mjJson = {
-      if (cpus != runs.last._1) { spark.stop(); spark = session(cpus) }
-      val (lc, lh) = graft.tools.ClusterProbe.extractChecksum(spark, kgDocs)
       spark.stop()
       val cl = SparkSessionFactory.cluster("local-cluster[2,8,4096]", "graft-bench-mj")
       // warm executor JVMs (model singleton load + JIT) before timing
@@ -153,9 +156,10 @@ object Bench {
       val ((cc, ch), mjSec) = time(graft.tools.ClusterProbe.extractChecksum(cl, kgDocs))
       cl.stop()
       spark = session(cpus)
+      val l = runs.last._2
       f"""{"master":"local-cluster[2,8,4096]","docs":$kgDocs,"triples":$cc,""" +
         f""""sec":$mjSec%.2f,"triples_per_sec":${cc / mjSec}%.1f,""" +
-        f""""checksum_match":${lc == cc && lh == ch}}"""
+        f""""checksum_match":${l.triples == cc && l.checksum == ch}}"""
     }
 
     // ---- phase 2c: 10× growth factors for the heavy dedup/LSH operators

@@ -391,30 +391,20 @@ object SparkEntry {
       val tmp = s"$processScratchRoot/warcbytes"
       val marker = java.nio.file.Paths.get(tmp, "fixture.done")
       if (!java.nio.file.Files.exists(marker)) {
-        def rec(tpe: String, uri: String, body: Array[Byte], lang: String): Array[Byte] = {
-          val hdr = s"WARC/1.0\r\nWARC-Type: $tpe\r\nWARC-Target-URI: $uri\r\n" +
-            s"WARC-Date: 2026-04-05T06:07:08Z\r\n" +
-            (if (lang != null) s"WARC-Identified-Content-Language: $lang\r\n" else "") +
-            s"Content-Length: ${body.length}\r\n\r\n"
-          hdr.getBytes("US-ASCII") ++ body ++ "\r\n\r\n".getBytes("US-ASCII")
-        }
-        def gz(b: Array[Byte]): Array[Byte] = {
-          val bos = new java.io.ByteArrayOutputStream()
-          val g = new java.util.zip.GZIPOutputStream(bos); g.write(b); g.close()
-          bos.toByteArray
-        }
+        import graft.sources.WarcIngest.{gzipMember, rawRecordBytes}
+        val lang = (tag: String) => Seq("WARC-Identified-Content-Language" -> tag)
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
         val iso = "HTTP/1.1 200 OK\r\n\r\n".getBytes("US-ASCII") ++
           "<html>café über straße</html>".getBytes("ISO-8859-1")
         java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "mixed.warc"),
-          rec("response", "https://bytes.test/iso", iso, null) ++
-            rec("conversion", "https://bytes.test/delim",
-              "body quoting the WARC/1.0 delimiter token".getBytes("UTF-8"), "eng"))
+          rawRecordBytes("response", "https://bytes.test/iso", iso) ++
+            rawRecordBytes("conversion", "https://bytes.test/delim",
+              "body quoting the WARC/1.0 delimiter token".getBytes("UTF-8"), lang("eng")))
         java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "two.warc.gz"),
-          gz(rec("response", "https://bytes.test/gz1",
-            ("HTTP/1.1 200 OK\r\n\r\n<p>one</p>").getBytes("UTF-8"), null)) ++
-            gz(rec("conversion", "https://bytes.test/gz2",
-              "second member text".getBytes("UTF-8"), "deu")))
+          gzipMember(rawRecordBytes("response", "https://bytes.test/gz1",
+            "HTTP/1.1 200 OK\r\n\r\n<p>one</p>".getBytes("UTF-8"))) ++
+            gzipMember(rawRecordBytes("conversion", "https://bytes.test/gz2",
+              "second member text".getBytes("UTF-8"), lang("deu"))))
         java.nio.file.Files.write(marker, Array.emptyByteArray)
       }
       val html = graft.sources.WarcIngest.readWarcHtml(s, tmp)
@@ -432,7 +422,8 @@ object SparkEntry {
     // driver-checked every round
     "link_incremental" -> ((s, dir) => {
       import s.implicits._
-      val work = java.nio.file.Files.createTempDirectory("graft_linkinc").toString
+      val work = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(processScratchRoot), "linkinc").toString
       val docs = Corpus.pages(s, 120, seed = 42, noisyFrac = 0.0).toDF()
       val triples = Extract.triples(docs)
       val batch1 = triples.filter(xxhash64(col("url")) % 2 === 0).toDF()
@@ -497,7 +488,8 @@ object SparkEntry {
         }
         graft.sources.WarcIngest.writeWetRecords(wetDir, "e2e.wet", recs)
       }
-      val work = java.nio.file.Files.createTempDirectory("graft_e2e_run").toString
+      val work = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(processScratchRoot), "e2e_run").toString
       val pages = graft.sources.WarcIngest.readWet(s, wetDir)
       val cfg = graft.pipeline.Pipeline.Config(work, nBuckets = 16,
         inputSnapshot = "wet-e2e-v1", completeInput = true)

@@ -340,6 +340,30 @@ object WarcIngest {
   // spec-shaped records, CRLF framing, exact byte Content-Length.
   // ------------------------------------------------------------------
 
+  /** Assemble one spec-shaped WARC record around a RAW byte body — exact
+    * byte Content-Length, CRLF framing — for byte-level fixtures (tests and
+    * the driver's `warc_bytes_ingest` query). `uri` null omits the header
+    * (the malformed-record case). */
+  def rawRecordBytes(tpe: String, uri: String, body: Array[Byte],
+      extraHeaders: Seq[(String, String)] = Nil): Array[Byte] = {
+    val hdr = new StringBuilder("WARC/1.0\r\n")
+    hdr.append(s"WARC-Type: $tpe\r\n")
+    if (uri != null) hdr.append(s"WARC-Target-URI: $uri\r\n")
+    hdr.append("WARC-Date: 2026-03-04T05:06:07Z\r\n")
+    extraHeaders.foreach { case (k, v) => hdr.append(s"$k: $v\r\n") }
+    hdr.append(s"Content-Length: ${body.length}\r\n\r\n")
+    hdr.toString.getBytes("US-ASCII") ++ body ++ "\r\n\r\n".getBytes("US-ASCII")
+  }
+
+  /** One gzip member over `bytes` — concatenate for `.warc.gz` fixtures
+    * (one member per record, how Common Crawl ships). */
+  def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(bytes); g.close()
+    bos.toByteArray
+  }
+
   /** Write explicit records as one .wet file under `dir`:
     * `(url, isoLangTag, bodyText)` triples. Returns the file path. */
   def writeWetRecords(dir: String, fileName: String,

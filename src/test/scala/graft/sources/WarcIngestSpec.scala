@@ -174,18 +174,9 @@ class WarcIngestSpec extends SparkSpec {
 
   // ---- byte-level reader -------------------------------------------------
 
-  /** Assemble one WARC record with a RAW byte body (no charset round-trip)
-    * and correct Content-Length. */
   private def rawRecord(tpe: String, uri: String, body: Array[Byte],
-      extra: Seq[(String, String)] = Nil): Array[Byte] = {
-    val hdr = new StringBuilder("WARC/1.0\r\n")
-    hdr.append(s"WARC-Type: $tpe\r\n")
-    if (uri != null) hdr.append(s"WARC-Target-URI: $uri\r\n")
-    hdr.append("WARC-Date: 2026-03-04T05:06:07Z\r\n")
-    extra.foreach { case (k, v) => hdr.append(s"$k: $v\r\n") }
-    hdr.append(s"Content-Length: ${body.length}\r\n\r\n")
-    hdr.toString.getBytes("US-ASCII") ++ body ++ "\r\n\r\n".getBytes("US-ASCII")
-  }
+      extra: Seq[(String, String)] = Nil): Array[Byte] =
+    WarcIngest.rawRecordBytes(tpe, uri, body, extra)
 
   test("byte reader: an ISO-8859-1 payload survives byte-exactly (no replacement chars)") {
     val dir = Files.createTempDirectory("graft-warc-iso").toString
@@ -203,11 +194,7 @@ class WarcIngestSpec extends SparkSpec {
 
   test("byte reader: gzip'd archives (concatenated members) parse byte-exactly") {
     val dir = Files.createTempDirectory("graft-warc-gz").toString
-    def gz(b: Array[Byte]): Array[Byte] = {
-      val bos = new java.io.ByteArrayOutputStream()
-      val g = new java.util.zip.GZIPOutputStream(bos)
-      g.write(b); g.close(); bos.toByteArray
-    }
+    def gz(b: Array[Byte]): Array[Byte] = WarcIngest.gzipMember(b)
     val p1 = "<html>ÿþ binary-ish</html>".getBytes("ISO-8859-1")
     val p2 = "<p>two</p>".getBytes("UTF-8")
     // one member per record — exactly how Common Crawl ships .warc.gz
