@@ -11,13 +11,27 @@ import graft.synth.Corpus
   *    cpus) on the SAME synthetic input — the sandbox evidence for the
   *    north_rule's N→4N executor scaling-efficiency ≥ 0.8 criterion
   *    (BASELINE.md "target: scaling"): eff = thr(4N) / (4 · thr(N)).
-  *  - "multi_jvm": the SAME extraction under `local-cluster[2,8,4096]` —
-  *    two forked executor JVMs, real closure/broadcast serialization and
-  *    per-executor model singletons — checked bit-identical (count +
-  *    order-independent checksum) against this process's local-mode run.
+  *  - "multi_jvm": the SAME extraction — plus the incremental-linking
+  *    pipeline (executor-fed STATE writes + reads) — under
+  *    `local-cluster[2,8,4096]`: two forked executor JVMs, real
+  *    closure/broadcast serialization and per-executor model singletons,
+  *    each checked bit-identical (count + order-independent multiset
+  *    checksum) against this process's local-mode runs.
   *  - "scale10x": the heavy dedup/LSH operators at a base corpus and at
   *    10× ([[graft.synth.WebDocs]]), reporting per-op growth factors —
   *    linear-with-log growth is the pass shape, a quadratic cliff the fail.
+  *    Each measurement is the MIN of two passes (the battery's host-noise
+  *    lesson — single-pass 1× numbers carry first-touch JIT/codegen; a
+  *    second pass is skipped only when the first already exceeded a time
+  *    budget, and the JSON records the pass count). Output-heavy ops also
+  *    report per-emitted-row growth (winnow's pair count grows faster than
+  *    its input by corpus design — raw time growth alone is
+  *    uninterpretable), and the LSH/minhash ops report candidate/verified/
+  *    hot-bucket COUNTERS so the linear-candidate-volume claim is measured,
+  *    not narrated.
+  *  - "scale100x": minhash/simhash/curation once more at 100× base (~1M
+  *    docs, single pass) — the extrapolation anchor for the 100 TB
+  *    language, with the same counters.
   *  - streaming extraction throughput (AvailableNow + exactly-once sink +
   *    checkpoint) on a fresh synthetic drop, as the "streaming" key.
   */
@@ -149,48 +163,59 @@ object Bench {
     // forked executor processes, bit-identity asserted against the local
     // scaling runs above (their timed jobs already carry the checksum)
     val mjJson = {
+      // the streaming/state path's local-mode reference (the extraction's
+      // reference is the checksummed scaling runs above)
+      val linkDocs = 1000L
+      val (linkRowsL, linkChkL) = graft.tools.ClusterProbe.linkChecksum(spark, linkDocs)
       spark.stop()
       val cl = SparkSessionFactory.cluster("local-cluster[2,8,4096]", "graft-bench-mj")
       // warm executor JVMs (model singleton load + JIT) before timing
       Extract.triples(Corpus.pages(cl, 200, seed = 5, noisyFrac = 0.0).toDF()).count()
       val ((cc, ch), mjSec) = time(graft.tools.ClusterProbe.extractChecksum(cl, kgDocs))
+      val ((lc, lch), linkSec) = time(graft.tools.ClusterProbe.linkChecksum(cl, linkDocs))
       cl.stop()
       spark = session(cpus)
       val l = runs.last._2
       f"""{"master":"local-cluster[2,8,4096]","docs":$kgDocs,"triples":$cc,""" +
         f""""sec":$mjSec%.2f,"triples_per_sec":${cc / mjSec}%.1f,""" +
-        f""""checksum_match":${l.triples == cc && l.checksum == ch}}"""
+        f""""checksum_match":${l.triples == cc && l.checksum == ch},""" +
+        f""""link":{"docs":$linkDocs,"rows":$lc,"sec":$linkSec%.2f,""" +
+        f""""checksum_match":${linkRowsL == lc && linkChkL == lch}}}"""
     }
 
-    // ---- phase 2c: 10× growth factors for the heavy dedup/LSH operators
-    // (same parameters as the registered queries) over WebDocs corpora
-    // written to parquet — real scans, pushdown and all
-    val scaleJson = {
+    // ---- phase 2c: 10× (and 100×) growth factors for the heavy dedup/LSH
+    // operators (same parameters as the registered queries) over WebDocs
+    // corpora written to parquet — real scans, pushdown and all
+    val (scaleJson, scale100Json) = {
       import org.apache.spark.sql.functions.col
       import graft.ops.{Dedup, Sampling, TextStats}
       val baseDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "10000").toLong
       val baseVecs = sys.env.getOrElse("SPARK_GRAFT_SCALE_VECS", "5000").toLong
+      val do100 = !sys.env.get("SPARK_GRAFT_SCALE100").contains("0")
       val root = java.nio.file.Files.createTempDirectory("graft-bench-scale").toString
+      // per-run operator counters, keyed by scale tag (deterministic ops —
+      // a second pass overwrites with identical values)
+      val embStats = scala.collection.mutable.Map.empty[String, Dedup.LshStats]
+      val mhStats = scala.collection.mutable.Map.empty[String, Dedup.MinhashStats]
       try {
-        for ((n, tag) <- Seq((baseDocs, "1"), (baseDocs * 10, "10"))) {
+        for ((n, tag) <- Seq((baseDocs, "1"), (baseDocs * 10, "10")) ++
+            (if (do100) Seq((baseDocs * 100, "100")) else Nil)) {
           graft.synth.WebDocs.documents(spark, n, seed = 77)
             .write.parquet(s"$root/docs$tag")
-          graft.synth.WebDocs.embeddings(spark,
-            if (tag == "1") baseVecs else baseVecs * 10, seed = 78)
-            .write.parquet(s"$root/emb$tag")
+          if (tag != "100")
+            graft.synth.WebDocs.embeddings(spark,
+              if (tag == "1") baseVecs else baseVecs * 10, seed = 78)
+              .write.parquet(s"$root/emb$tag")
         }
         def ops(tag: String): Seq[(String, () => Long)] = {
           def docs = spark.read.parquet(s"$root/docs$tag")
           def emb = spark.read.parquet(s"$root/emb$tag")
-          Seq(
+          val heavy = Seq(
             "lsh_minhash_dedup" -> (() => Dedup.minhashLsh(docs, "doc_id", "text",
-              shingleN = 8, k = 16, bands = 4, threshold = 0.2).count()),
+              shingleN = 8, k = 16, bands = 4, threshold = 0.2,
+              onStats = Some(st => mhStats(tag) = st)).count()),
             "simhash_pairs" -> (() => Dedup.simhashPairs(docs, "doc_id", "text",
               maxHamming = 3).count()),
-            "winnow_overlap_pairs" -> (() => Dedup.winnowedOverlapPairs(docs,
-              "doc_id", "text", k = 16, w = 8, minShared = 3).count()),
-            "emb_near_dup_lsh" -> (() => Dedup.embeddingNearDup(emb, "vec_id",
-              "embedding", threshold = 0.45, localThreshold = 0L).count()),
             "curation_pipeline" -> { () =>
               val gated = docs
                 .filter(TextStats.qualityScore(col("text")) >= 0.5)
@@ -200,14 +225,72 @@ object Bench {
               TextStats.tfidfTopK(Dedup.exactKeepers(sampled, "doc_id", "text"),
                 "doc_id", "text", k = 3).count()
             })
+          if (tag == "100") heavy
+          else heavy ++ Seq(
+            "winnow_overlap_pairs" -> (() => Dedup.winnowedOverlapPairs(docs,
+              "doc_id", "text", k = 16, w = 8, minShared = 3).count()),
+            "emb_near_dup_lsh" -> (() => Dedup.embeddingNearDup(emb, "vec_id",
+              "embedding", threshold = 0.45, localThreshold = 0L,
+              onStats = Some(st => embStats(tag) = st)).count()))
         }
-        val r1 = ops("1").map { case (n, f) => val (r, s) = time(f()); n -> (r, s) }
-        val r10 = ops("10").map { case (n, f) => val (r, s) = time(f()); n -> (r, s) }
-        val perOp = r1.zip(r10).map { case ((n, (rows1, s1)), (_, (rows10, s10))) =>
-          f""""$n":{"sec1":$s1%.2f,"sec10":$s10%.2f,"growth":${s10 / s1}%.2f,""" +
-            f""""rows1":$rows1,"rows10":$rows10}"""
+        // min-of-2 passes; the second is skipped (and recorded) only when
+        // the first already blew the budget — growth factors from one
+        // contaminated window were the BENCH_r04 lesson
+        val passBudget = 45.0
+        final case class M(rows: Long, sec: Double, passes: Int)
+        def measure(tag: String): Map[String, M] =
+          ops(tag).map { case (name, f) =>
+            val (r1, s1) = time(f())
+            name -> (if (s1 <= passBudget) {
+              val (r2, s2) = time(f())
+              require(r1 == r2, s"$name@$tag nondeterministic: $r1 vs $r2")
+              M(r1, math.min(s1, s2), 2)
+            } else M(r1, s1, 1))
+          }.toMap
+        val m1 = measure("1")
+        val m10 = measure("10")
+        def embJson = (for (a <- embStats.get("1"); b <- embStats.get("10")) yield
+          f""","counters":{"n1":${a.n},"band_bits1":${a.bandBits},"bands1":${a.bands},""" +
+            f""""cand1":${a.candidates},"verified1":${a.verified},""" +
+            f""""n10":${b.n},"band_bits10":${b.bandBits},"bands10":${b.bands},""" +
+            f""""cand10":${b.candidates},"verified10":${b.verified},""" +
+            f""""cand_growth":${b.candidates.toDouble / math.max(a.candidates, 1)}%.2f}""").getOrElse("")
+        def mhJson(s: Dedup.MinhashStats) =
+          f"""{"docs":${s.docs},"buckets":${s.buckets},"hot_buckets":${s.hotBuckets},""" +
+            f""""hot_rows":${s.hotRows},"candidates":${s.candidates},"verified":${s.verified}}"""
+        val perOp = ops("1").map(_._1).map { name =>
+          val a = m1(name); val b = m10(name)
+          val perRow = (b.sec / math.max(b.rows, 1)) / (a.sec / math.max(a.rows, 1))
+          f""""$name":{"sec1":${a.sec}%.2f,"sec10":${b.sec}%.2f,""" +
+            f""""growth":${b.sec / a.sec}%.2f,"per_row_growth":$perRow%.2f,""" +
+            f""""rows1":${a.rows},"rows10":${b.rows},""" +
+            f""""passes1":${a.passes},"passes10":${b.passes}""" +
+            (if (name == "emb_near_dup_lsh") embJson else "") +
+            (if (name == "lsh_minhash_dedup")
+              mhStats.get("10").map(s => s""","minhash_counters10":${mhJson(s)}""").getOrElse("")
+             else "") + "}"
         }.mkString(",")
-        f"""{"base_docs":$baseDocs,"base_vecs":$baseVecs,$perOp}"""
+        val s10 = f"""{"base_docs":$baseDocs,"base_vecs":$baseVecs,$perOp}"""
+        // 100× anchor: single pass (the 1×/10× mins above are the noise
+        // control; one ~100 s run per op is the honest budget here)
+        val s100 =
+          if (!do100) """{"skipped":true}"""
+          else {
+            val m100 = ops("100").map { case (name, f) =>
+              val (r, s) = time(f()); name -> M(r, s, 1)
+            }.toMap
+            val per = ops("100").map(_._1).map { name =>
+              val a = m1(name); val c = m100(name)
+              val perRow = (c.sec / math.max(c.rows, 1)) / (a.sec / math.max(a.rows, 1))
+              f""""$name":{"sec":${c.sec}%.2f,"rows":${c.rows},""" +
+                f""""growth_vs_1x":${c.sec / a.sec}%.2f,"per_row_growth_vs_1x":$perRow%.2f""" +
+                (if (name == "lsh_minhash_dedup")
+                  mhStats.get("100").map(s => s""","minhash_counters":${mhJson(s)}""").getOrElse("")
+                 else "") + "}"
+            }.mkString(",")
+            f"""{"docs":${baseDocs * 100},$per}"""
+          }
+        (s10, s100)
       } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     }
 
@@ -237,7 +320,7 @@ object Bench {
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
         f""""kg_scaling":$kg,"multi_jvm":$mjJson,"scale10x":$scaleJson,""" +
-        f""""streaming":$streamJson,"sf":"$sfDir"}""")
+        f""""scale100x":$scale100Json,"streaming":$streamJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

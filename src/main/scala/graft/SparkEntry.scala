@@ -438,6 +438,23 @@ object SparkEntry {
           lit(null).cast("string").as("canonical_surface"), col("bridged_id"))
       res.unionByName(bridges).orderBy("surface", "canonical_id")
     }),
+    // offline bridge compaction (rows-only): three incremental batches into
+    // a state dir, then graft.link.Compaction — output = the migration map
+    // (old → new ids + new representative + changed flag), driver-checked
+    // for determinism every round; the equality-to-batch-linker proof is
+    // LinkCompactionSpec's job
+    "link_compaction" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(processScratchRoot), "linkcomp").toString
+      val triples = Extract.triples(
+        Corpus.pages(s, 120, seed = 42, noisyFrac = 0.0).toDF()).toDF()
+        .localCheckpoint()
+      for (i <- 0 until 3)
+        graft.streaming.StreamLink.processBatch(
+          triples.filter(xxhash64(col("url")) % 3 === i), work, batchId = i)
+      graft.link.Compaction.compact(s, work, s"$work/compacted")
+        .orderBy("old_id")
+    }),
     "mm_media_meta" -> ((s, dir) =>
       graft.multimodal.Media.metaTable(graft.multimodal.Media.corpus(s, 400, seed = 3))),
     "mm_frame_sample" -> ((s, dir) =>

@@ -195,6 +195,28 @@ object Metrics {
     graft.io.TableIO.writeStage(perType, path, "metrics", "question_type", 1, snapshot,
       completeInput = true)
 
+  /** The reference's actual human-facing S6 artifact: `{sign}_res.xlsx`
+    * (`df.to_excel(..., index=None)`, utils/evaluate_funcs.py:297-306) —
+    * same column order, INCLUDING the `queation_type` header typo, values as
+    * strings (pandas stringifies the mixed-dtype `np.array(...).T` frame).
+    * One deviation, documented: rows sort by question_type (the reference
+    * emits dict-insertion order, which is an artifact of its eval loop, not
+    * a contract) so the file is deterministic under any partitioning. The
+    * collect is bounded by the ontology key set, same as the metrics map. */
+  def writePerformanceXlsx(perType: DataFrame, path: String): Unit = {
+    val rows = perType
+      .select(col("question_type"), col("precision_blurred"), col("recall_blurred"),
+        col("f1_blurred"), col("precision_precise"), col("recall_precise"),
+        col("f1_precise"))
+      .orderBy("question_type")
+      .collect()
+      .map(r => r.getString(0) +: (1 to 6).map(i => r.getDouble(i).toString))
+    graft.io.Xlsx.write(path,
+      Seq("queation_type", "precision_blurred", "recall_blurred", "f1_blurred",
+        "precision_precise", "recall_precise", "f1_precise"),
+      rows.toSeq)
+  }
+
   /** Macro scores over the schema's FULL key set (zero rows included, as the
     * reference iterates every performance_dic key) + acc = matched spans /
     * samples. */

@@ -13,14 +13,17 @@ import org.apache.hadoop.conf.Configuration
   * sha256(etag) file name, sidecar `.json` metadata) and returns the local
   * path; local paths pass through, missing ones raise.
   *
-  * Here the "remote" is anything Hadoop FS can address (`s3a://`, `hdfs://`,
-  * `file://` — which is also what makes the mechanism fully testable in a
-  * zero-egress sandbox), the version tag is the source's (length,
-  * modificationTime) status — the scheme-agnostic analogue of the reference's
-  * ETag — and the consumer is an executor-side singleton that needs a LOCAL
-  * file (the S7 model-weights mmap pattern, `load_big_file`
-  * utils/file_utils.py:251-255): each executor JVM fetches once, every later
-  * task hits the in-memory memo.
+  * Sources: `http://`/`https://` URLs fetch via URLConnection with the
+  * response's ETag (falling back to Last-Modified, then Content-Length) as
+  * the version tag — the reference's primary path
+  * (`get_from_cache`, utils/file_utils.py:118-230). Every OTHER scheme
+  * resolves through Hadoop FS (`s3a://`, `hdfs://`, `file://` — the
+  * executor-scale substrate, and what makes the mechanism fully testable in
+  * a zero-egress sandbox) with the source's (length, modificationTime)
+  * status as the scheme-agnostic ETag analogue. The consumer is an
+  * executor-side singleton that needs a LOCAL file (the S7 model-weights
+  * mmap pattern, `load_big_file` utils/file_utils.py:251-255): each
+  * executor JVM fetches once, every later task hits the in-memory memo.
   *
   * One deliberate upgrade over the reference: the cache entry is written to
   * a temp file and ATOMICALLY renamed into place (the reference's plain
@@ -50,8 +53,9 @@ object FileCache {
 
   /** `cached_path` port. A bare existing local path returns itself; a bare
     * missing one raises FileNotFoundException (utils/file_utils.py:104-107);
-    * any scheme'd URI resolves through the cache, fetching via Hadoop FS on
-    * the first call per (uri, version). */
+    * any scheme'd URI resolves through the cache on the first call per
+    * (uri, version) — http(s) via URLConnection, everything else via
+    * Hadoop FS. */
   def cachedPath(uri: String, cacheDir: String = defaultCacheDir,
       conf: Configuration = new Configuration()): String = {
     val hasScheme = uri.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")
@@ -62,13 +66,48 @@ object FileCache {
     memo.getOrElseUpdate((uri, cacheDir), fetch(uri, cacheDir, conf))
   }
 
-  private def fetch(uri: String, cacheDir: String, conf: Configuration): String = {
-    val src = new org.apache.hadoop.fs.Path(uri)
-    val fs = src.getFileSystem(conf)
-    val st = fs.getFileStatus(src) // FileNotFoundException if absent — as the reference
-    // (length, mtime) is the scheme-agnostic ETag analogue: a changed source
-    // gets a NEW entry, the old one stays addressable (same as the reference)
-    val tag = s"${st.getLen}:${st.getModificationTime}"
+  private def fetch(uri: String, cacheDir: String, conf: Configuration): String =
+    if (uri.startsWith("http://") || uri.startsWith("https://")) {
+      // reference path (utils/file_utils.py:118-230): one GET whose response
+      // HEADERS carry the version tag — the entry name is known before the
+      // body is consumed, so a hit closes the stream without downloading
+      val conn = new java.net.URL(uri).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setInstanceFollowRedirects(true)
+      conn.setConnectTimeout(30000)
+      conn.setReadTimeout(120000)
+      try {
+        val code = conn.getResponseCode
+        if (code == 404 || code == 410)
+          throw new java.io.FileNotFoundException(s"file $uri not found ($code)")
+        if (code >= 400)
+          throw new java.io.IOException(s"HEAD/GET $uri failed: HTTP $code")
+        val tag = Option(conn.getHeaderField("ETag"))
+          .orElse(Option(conn.getHeaderField("Last-Modified")))
+          .getOrElse(s"len:${conn.getContentLengthLong}")
+        materialize(uri, tag, cacheDir) { tmp =>
+          val in = conn.getInputStream
+          try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING): Unit
+          finally in.close()
+        }
+      } finally conn.disconnect()
+    } else {
+      val src = new org.apache.hadoop.fs.Path(uri)
+      val fs = src.getFileSystem(conf)
+      val st = fs.getFileStatus(src) // FileNotFoundException if absent — as the reference
+      // (length, mtime) is the scheme-agnostic ETag analogue: a changed source
+      // gets a NEW entry, the old one stays addressable (same as the reference)
+      materialize(uri, s"${st.getLen}:${st.getModificationTime}", cacheDir) { tmp =>
+        val in = fs.open(src)
+        try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING): Unit
+        finally in.close()
+      }
+    }
+
+  /** Resolve (uri, tag) to a cache entry, running `copyBody` into a temp
+    * file and atomically renaming on a miss. Shared by both source kinds. */
+  private def materialize(uri: String, tag: String, cacheDir: String)
+      (copyBody: Path => Unit): String = {
     val name = sha256(uri) + "." + sha256(tag)
     Files.createDirectories(Paths.get(cacheDir))
     val dest: Path = Paths.get(cacheDir, name)
@@ -77,11 +116,10 @@ object FileCache {
     val lock = locks.getOrElseUpdate(name, new Object)
     lock.synchronized {
       if (!Files.exists(dest)) {
+        sweepOrphans(cacheDir, name)
         val tmp = Files.createTempFile(Paths.get(cacheDir), s".$name.", ".tmp")
         try {
-          val in = fs.open(src)
-          try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
-          finally in.close()
+          copyBody(tmp)
           // sidecar metadata BEFORE the entry becomes visible — a reader
           // that can see the entry can always see its provenance
           Files.writeString(Paths.get(cacheDir, name + ".json"),
@@ -96,5 +134,30 @@ object FileCache {
       }
     }
     dest.toString
+  }
+
+  /** Crash debris removal for ONE entry, run under its lock before a
+    * re-fetch: a process that died mid-fetch leaves `.$name.*.tmp` files
+    * (and possibly a sidecar without its entry) that the in-process
+    * `finally` never got to delete. Only debris older than `staleMs` is
+    * touched — a CONCURRENT fetcher in another process may legitimately
+    * have a fresh tmp (or a sidecar written moments before its atomic
+    * rename) in flight, and deleting that would fail its rename. */
+  private def sweepOrphans(cacheDir: String, name: String,
+      staleMs: Long = 60 * 60 * 1000L): Unit = {
+    val now = System.currentTimeMillis()
+    def stale(p: Path) =
+      try now - Files.getLastModifiedTime(p).toMillis > staleMs
+      catch { case _: java.io.IOException => false } // raced away — fine
+    val dir = Paths.get(cacheDir)
+    val listing = Files.list(dir)
+    try listing.iterator().forEachRemaining { p =>
+      val fn = p.getFileName.toString
+      if (fn.startsWith(s".$name.") && fn.endsWith(".tmp") && stale(p))
+        Files.deleteIfExists(p): Unit
+    } finally listing.close()
+    val sidecar = dir.resolve(name + ".json")
+    if (Files.exists(sidecar) && !Files.exists(dir.resolve(name)) && stale(sidecar))
+      Files.deleteIfExists(sidecar): Unit
   }
 }

@@ -1,0 +1,74 @@
+package graft.io
+
+import java.io.FileOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+/** Minimal single-sheet .xlsx writer (S6 — the reference's metrics sink is a
+  * real Excel file, `df.to_excel(...'{sign}_res.xlsx', index=None)`,
+  * utils/evaluate_funcs.py:306): an xlsx is a zip of OOXML parts, so a
+  * dependency-free writer is four boilerplate XML parts plus one sheet of
+  * inline-string cells. Inline strings (no shared-string table) keep the
+  * writer single-pass; every spreadsheet reader supports them.
+  *
+  * Driver-side by design: the reference's sheet is the per-question-type
+  * metrics table — 17 rows, bounded by the ontology, the same bounded
+  * collect the metrics map already does. Corpus-scale tables belong in
+  * parquet ([[TableIO]]); this sink exists for the human-facing artifact
+  * parity. */
+object Xlsx {
+
+  private def esc(s: String): String = s
+    .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    .replace("\"", "&quot;")
+
+  /** Write `header` + `rows` as one worksheet at `path`. */
+  def write(path: String, header: Seq[String], rows: Seq[Seq[String]],
+      sheetName: String = "Sheet1"): Unit = {
+    require(rows.forall(_.length == header.length),
+      "every row must have one cell per header column")
+    def row(cells: Seq[String]): String =
+      cells.map(c => s"""<c t="inlineStr"><is><t>${esc(c)}</t></is></c>""")
+        .mkString("<row>", "", "</row>")
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+        "<sheetData>" + (header +: rows).map(row).mkString + "</sheetData></worksheet>"
+    val contentTypes =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+        """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+        """<Default Extension="xml" ContentType="application/xml"/>""" +
+        """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+        """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+        "</Types>"
+    val rootRels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+        "</Relationships>"
+    val workbook =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+        s"""<sheets><sheet name="${esc(sheetName)}" sheetId="1" r:id="rId1"/></sheets>""" +
+        "</workbook>"
+    val workbookRels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
+        "</Relationships>"
+    val zos = new ZipOutputStream(new FileOutputStream(path))
+    try {
+      def part(name: String, body: String): Unit = {
+        zos.putNextEntry(new ZipEntry(name))
+        zos.write(body.getBytes(UTF_8))
+        zos.closeEntry()
+      }
+      part("[Content_Types].xml", contentTypes)
+      part("_rels/.rels", rootRels)
+      part("xl/workbook.xml", workbook)
+      part("xl/_rels/workbook.xml.rels", workbookRels)
+      part("xl/worksheets/sheet1.xml", sheet)
+    } finally zos.close()
+  }
+}

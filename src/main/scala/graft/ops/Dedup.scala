@@ -20,6 +20,20 @@ import graft.link.ConnectedComponents
   */
 object Dedup {
 
+  /** Measured run geometry + volumes of one [[embeddingCosinePairsLsh]]
+    * invocation: the scale-bench evidence that candidate volume grows
+    * linearly with `n` (`candidates ≲ 16·n` by construction of the adaptive
+    * fixpoint). */
+  final case class LshStats(n: Long, bandBits: Int, bands: Int,
+      candidates: Long, verified: Long)
+
+  /** Measured volumes of one [[minhashLsh]] invocation — in particular the
+    * hot-bucket cap engagement (`hotBuckets`/`hotRows`) the 100 TB scale
+    * story leans on: candidate pairs from oversized buckets are bounded at
+    * O(rows·window) by sorted-neighborhood pairing, never O(rows²). */
+  final case class MinhashStats(docs: Long, buckets: Long, hotBuckets: Long,
+      hotRows: Long, candidates: Long, verified: Long)
+
   /** Exact dedup: keep the smallest id per fingerprint group.
     * Returns (idCol, keeper, groupSize). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -63,21 +77,23 @@ object Dedup {
   /** Pairwise n-gram Jaccard over a shingle self-join (exact, for modest
     * candidate sets / verification): pairs with jaccard >= threshold.
     *
-    * Misuse guard: shingles appearing in more than `maxDocFreq` docs are
-    * excluded from the JOIN (the stop-shingle discipline of
-    * [[winnowedOverlapPairs]]) — one boilerplate n-gram shared by d docs
-    * would otherwise emit d²/2 join rows on its own. They still count in
-    * each doc's shingle-set size, so the guard can only LOWER a pair's
-    * reported jaccard (union stays exact, intersection loses only
-    * boilerplate evidence). Known blind spot, accepted: a pair whose EVERY
-    * shared shingle is above the cap (docs that consist entirely of a
-    * >maxDocFreq boilerplate — true jaccard 1.0) loses all its evidence
-    * and emits no row; those are exact-duplicate cohorts, which [[exact]]/
-    * [[exactKeepers]] catch by fingerprint with no join at all. Default is
-    * far above anything a verification-scale candidate set produces, so
-    * results are unchanged there. */
+    * Misuse guard (OPT-IN, default off): shingles appearing in more than
+    * `maxDocFreq` docs are excluded from the JOIN (the stop-shingle
+    * discipline of [[winnowedOverlapPairs]]) — one boilerplate n-gram shared
+    * by d docs would otherwise emit d²/2 join rows on its own. They still
+    * count in each doc's shingle-set size, so the guard can only LOWER a
+    * pair's reported jaccard (union stays exact, intersection loses only
+    * boilerplate evidence). Known blind spot when engaged: a pair whose
+    * EVERY shared shingle is above the cap (e.g. two docs built from the
+    * same >maxDocFreq boilerplate shingle SET — true jaccard 1.0, even with
+    * different bytes, which fingerprint dedup does NOT cover) loses all its
+    * evidence and emits no row. The default Int.MaxValue therefore keeps
+    * this operator EXACT — it is the verification-scale path; corpus-scale
+    * near-dup belongs to [[minhashLsh]], and callers who point this at a
+    * boilerplate-heavy corpus opt into the cap (and its blind spot)
+    * explicitly. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, maxDocFreq: Int = 1000): DataFrame = {
+      n: Int, threshold: Double, maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val sh = charShingleDF(df, idCol, textCol, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df_"))
@@ -111,7 +127,8 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, k: Int = 16, bands: Int = 4,
       threshold: Double = 0.7, bucketCap: Int = 1000,
-      neighborWindow: Int = 8): DataFrame = {
+      neighborWindow: Int = 8,
+      onStats: Option[MinhashStats => Unit] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     require(k % bands == 0)
@@ -177,7 +194,21 @@ object Dedup {
     // its input as its FIRST step, so the verify plan is evaluated exactly
     // once inside it — a caller-side checkpoint would store the edges twice.
     // Unpersist after: CC.run returns only once the edges are materialized.
-    val comp = ConnectedComponents.run(verified)
+    // With a stats hook the verify plan IS checkpointed here (so counting it
+    // doesn't re-run the expensive verify join) and CC reads the checkpoint.
+    val edges = if (onStats.isDefined) verified.localCheckpoint() else verified
+    onStats.foreach { f =>
+      // one aggregation over the persisted banded frame; cand is persisted
+      // and edges checkpointed, so those counts are metadata-cheap
+      val b = sized.agg(
+        countDistinct(col("band"), col("bucket")),
+        countDistinct(when(col("bucket_n") > bucketCap,
+          struct(col("band"), col("bucket")))),
+        count(when(col("bucket_n") > bucketCap, lit(1)))).head()
+      f(MinhashStats(docs.count(), b.getLong(0), b.getLong(1), b.getLong(2),
+        cand.count(), edges.count()))
+    }
+    val comp = ConnectedComponents.run(edges)
     sized.unpersist(); cand.unpersist(); docs.unpersist()
     df.filter(col(idCol).isNotNull)
       .select(col(idCol).cast("long").as("doc_id"))
@@ -241,23 +272,41 @@ object Dedup {
     * exact-cosine verification of candidates only. Nothing is ever collected
     * to the driver.
     *
-    * ADAPTIVE banding (default, `bits`/`bands` < 0): band width grows with
-    * the corpus — `bandBits = ceil(log2(n/32))` (clamped [8, 17]) keeps
-    * expected bucket occupancy ≈ constant, so candidate count grows
-    * LINEARLY with n instead of the n²/2^bandBits a fixed width degrades to
-    * (measured: 16× time for 10× uniform vectors before this change); the
-    * band COUNT is then derived to hold ≥ 90% recall at the 0.85-cosine
-    * design point (per-bit agreement p = 1 − arccos(0.85)/π ≈ 0.823,
-    * bands = ceil(ln 0.1 / ln(1 − p^bandBits)), clamped [8, 64]) — the
-    * signature length bands×bandBits grows ~log n, the standard LSH
-    * scale-out. Genuine near-dups (cosine ≳ 0.99) collide with probability
-    * ≈ 1 at every setting; at thresholds far below the design point
-    * candidates are found with decaying probability, the standard trade
-    * (use [[embeddingCosinePairs]] exhaustively on bounded inputs when
-    * exactness is required). Explicit `bits`/`bands` pin the geometry. */
+    * ADAPTIVE banding (default, `bits`/`bands` < 0): the geometry is solved
+    * JOINTLY so TOTAL candidate volume stays linear in n. Expected candidate
+    * pairs across all bands ≈ bands · n²/2^(bandBits+1), so bandBits is
+    * sized against the total band fan-out n·bands (not the per-band n):
+    * `bandBits = ceil(log2(n·bands/32))`, iterated to a fixpoint with the
+    * recall-driven band count `bands = ceil(ln 0.1 / ln(1 − p^bandBits))`
+    * that holds ≥ 90% recall at the 0.85-cosine design point (per-bit
+    * agreement p = 1 − arccos(0.85)/π ≈ 0.823). The fixpoint converges in a
+    * few steps — each extra bit doubles capacity while the band count grows
+    * only ×(1/p) ≈ 1.22 — and guarantees `bands·n/2^bandBits ≤ 32`, i.e.
+    * ≤ 16·n expected candidates TOTAL. (The previous scheme sized bandBits
+    * against per-band occupancy only; the recall formula then grew the band
+    * count ~n^0.28, making total candidates Θ(n^1.28) — measured 14.5× time
+    * for 10× vectors. The signature length bands×bandBits now grows faster —
+    * ~n^0.39 bits·log n per vector — but hashing is embarrassingly parallel
+    * dense arithmetic; the shuffle + join volume is what had to be linear.)
+    * Clamps [8, 17] bits × [8, 64] bands are mutually consistent at the
+    * design point (64 bands is exactly what 17-bit bands need for 90%
+    * recall); past n ≈ 2^17·32/64 ≈ 65k vectors the geometry saturates and
+    * occupancy grows again — deployments beyond that raise both clamps
+    * together, trading fan-out for recall explicitly rather than silently.
+    * Genuine near-dups (cosine ≳ 0.99) collide with probability ≈ 1 at
+    * every setting; at thresholds far below the design point candidates are
+    * found with decaying probability, the standard trade (use
+    * [[embeddingCosinePairs]] exhaustively on bounded inputs when exactness
+    * is required). Explicit `bits`/`bands` pin the geometry.
+    *
+    * `onStats` (when provided) receives the solved geometry plus measured
+    * candidate/verified-pair counts — the harness hook that lets a scale
+    * bench PROVE the linear-candidate claim instead of narrating it. The
+    * counts cost two extra actions over already-materialized frames. */
   def embeddingCosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = -1, bands: Int = -1,
-      bucketCap: Int = 2000, neighborWindow: Int = 8): DataFrame = {
+      bucketCap: Int = 2000, neighborWindow: Int = 8,
+      onStats: Option[LshStats => Unit] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -275,25 +324,31 @@ object Dedup {
     // error, not corpus-size-dependent results
     require((bits > 0) == (bands > 0),
       "pin BOTH bits and bands, or neither (adaptive)")
+    val n = vecs.count() // persisted — one cheap cached pass
     val (bandBits, nBands) =
       if (bits > 0) {
         require(bits % bands == 0 && bits / bands <= 63, "bandBits must fit a Long key")
         (bits / bands, bands)
       } else {
-        val n = vecs.count() // persisted — one cheap cached pass
         def ceilLog2(x: Long) =
           if (x <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1)
-        // bandBits cap 17 is where the recall formula still fits 64 bands
-        // (ceil(ln0.1 / ln(1 − .823^17)) = 60) — a wider band would need a
-        // clamped band count that silently FORFEITS the ≥90% design-point
-        // recall. Past n ≈ 32·2^17 ≈ 4M vectors occupancy grows again
-        // (linear candidates with a rising constant); deployments beyond
-        // that raise both clamps together, trading fan-out for recall
-        // explicitly rather than silently.
-        val bb = math.min(17, math.max(8, ceilLog2(math.max(n / 32, 1))))
         val p = 1.0 - math.acos(0.85) / math.Pi
-        val nb = math.min(64, math.max(8,
+        // band count that holds ≥90% recall at the design point for a given
+        // band width; cap 17 bits is where this still fits 64 bands
+        def bandsFor(bb: Int): Int = math.min(64, math.max(8,
           math.ceil(math.log(0.1) / math.log(1.0 - math.pow(p, bb))).toInt))
+        // joint fixpoint: 2^bandBits ≥ n·bands/32 bounds TOTAL expected
+        // candidates (bands·n²/2^(bandBits+1)) at 16·n. bandBits is
+        // monotonically non-decreasing across iterations (bandsFor is
+        // non-decreasing in bb) and capped, so this terminates.
+        var bb = math.min(17, math.max(8, ceilLog2(math.max(n / 32, 1))))
+        var nb = bandsFor(bb)
+        var settled = false
+        while (!settled) {
+          val next = math.min(17, math.max(8, ceilLog2(math.max(n / 32 * nb, 1))))
+          if (next == bb) settled = true
+          else { bb = next; nb = bandsFor(bb) }
+        }
         (bb, nb)
       }
     val totalBits = bandBits * nBands
@@ -363,6 +418,10 @@ object Dedup {
         if (c >= threshold) Some((idA, idB, c)) else None
       }).toDF("id_a", "id_b", "cosine")
       .localCheckpoint() // eager: lets the caches release deterministically
+    // both counts are over materialized frames (cand is persisted and
+    // already consumed; verified is checkpointed) — metadata-cheap actions
+    onStats.foreach(f =>
+      f(LshStats(n, bandBits, nBands, cand.count(), verified.count())))
     sized.unpersist(); cand.unpersist(); vecs.unpersist()
     verified.select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
@@ -373,7 +432,8 @@ object Dedup {
     * below `localThreshold` rows, the LSH-bucketed path above (never a
     * driver-side collect of unbounded input). */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, localThreshold: Long = 100000L): DataFrame = {
+      threshold: Double, localThreshold: Long = 100000L,
+      onStats: Option[LshStats => Unit] = None): DataFrame = {
     // bounded size probe: LocalLimit short-circuits the scan at threshold+1
     // rows, so deciding the path never costs a full pass over a huge input.
     // Thresholds beyond Int.MaxValue can't be probed via limit (its cap
@@ -384,7 +444,7 @@ object Dedup {
     }
     val pairs =
       (if (exact) embeddingCosinePairs(df, idCol, vecCol, threshold)
-       else embeddingCosinePairsLsh(df, idCol, vecCol, threshold))
+       else embeddingCosinePairsLsh(df, idCol, vecCol, threshold, onStats = onStats))
         .select(col("id_a").as("src"), col("id_b").as("dst"))
     val comp = ConnectedComponents.run(pairs)
     df.filter(col(idCol).isNotNull)

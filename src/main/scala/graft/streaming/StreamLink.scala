@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -13,8 +13,13 @@ import graft.schema.Triple
   * [[Linker.canonicalTriples]]: each micro-batch's NEW mention surfaces are
   * LSH-banded and candidate-joined against the persisted canonical table,
   * verified (true Jaccard), clustered among themselves, and appended to the
-  * state — so linking cost per batch is O(batch × candidates), never a
-  * re-clustering of the whole corpus.
+  * state. Per-batch cost: the candidate JOIN is O(batch × candidates), and
+  * the state SCANS feeding it are pruned to the hash buckets the batch
+  * touches (`sbucket`/`pbucket` partition columns, below) — a batch that
+  * touches k of the N buckets reads ~k/N of the state, so month-of-drops
+  * state growth is paid only by the buckets a batch actually lands in (a
+  * batch large enough to touch every bucket reads the full state once —
+  * that is the floor any correct candidate join has).
   *
   * **Stability contract (the documented conflict rule):** a published
   * canonical id is NEVER rewritten. A surface keeps the canonical id and
@@ -22,21 +27,29 @@ import graft.schema.Triple
   * existing components (one new-surface cluster verifies against canonical
   * ids A and B, A < B), the new surfaces adopt the minimum id A, existing
   * B-surfaces keep B, and the bridge `(kept=A, bridged=B)` is recorded in
-  * the `bridges` state table — the input for an OFFLINE compaction
-  * (periodic batch [[Linker.canonicalTriples]] re-run), which owns merging
-  * published components. In-stream rewriting would mean a consumer that
-  * joined against yesterday's ids silently disagrees with today's table —
-  * at 10^12-doc scale that is a correctness bug, not a convenience.
+  * the `bridges` state table — the input for the OFFLINE compaction
+  * ([[graft.link.Compaction]]), which owns merging published components and
+  * emits the old→new migration map. In-stream rewriting would mean a
+  * consumer that joined against yesterday's ids silently disagrees with
+  * today's table — at 10^12-doc scale that is a correctness bug, not a
+  * convenience.
   *
   * State tables under `stateDir`, all partitioned by `batch=<id>` and
   * written with overwrite — a replayed micro-batch (foreachBatch gives
   * at-least-once) overwrites its OWN partition and reads only state from
   * batches strictly before it, so replays are idempotent:
-  *  - `surfaces/`: surface → (norm, id, canonical_id, canonical_surface)
-  *  - `bands/`:    LSH band key → (id, norm, canonical_id, canonical_surface)
+  *  - `surfaces/`: surface → (norm, id, canonical_id, canonical_surface),
+  *    sub-partitioned by `sbucket = pmod(xxhash64(surface), N)`
+  *  - `bands/`:    LSH band key → (id, norm, canonical_id, canonical_surface),
+  *    sub-partitioned by `pbucket = pmod(xxhash64(bucket), N)`
   *  - `bridges/`:  (kept_id, bridged_id)
   *  - `triples/`:  url-grain canonical-triple provenance rows (readers
   *    aggregate countDistinct(url), exact under any delivery guarantee)
+  *
+  * The bucket count N and the shingle width are pinned in `_meta.json` on
+  * the first batch and ADOPTED (param ignored, loudly on mismatch only for
+  * shingleN) by every later one — a silently changed N would prune reads
+  * against partitions written under the old N and silently lose candidates.
   */
 object StreamLink {
 
@@ -49,23 +62,100 @@ object StreamLink {
     StructField("norm", StringType), StructField("canonical_id", LongType),
     StructField("canonical_surface", StringType)))
 
+  /** Pinned per-state-dir parameters (see class doc). */
+  final case class StateMeta(nStateBuckets: Int, shingleN: Int)
+
+  private def fs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** The pinned layout params of an existing state dir, if any. */
+  private[graft] def readMeta(spark: SparkSession, stateDir: String): Option[StateMeta] = {
+    val (hfs, root) = fs(spark, stateDir)
+    val metaPath = new org.apache.hadoop.fs.Path(root, "_meta.json")
+    if (!hfs.exists(metaPath)) None
+    else {
+      val in = hfs.open(metaPath)
+      val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      def field(k: String) = s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toInt)
+        .getOrElse(throw new IllegalStateException(s"corrupt $metaPath: $txt"))
+      Some(StateMeta(field("nStateBuckets"), field("shingleN")))
+    }
+  }
+
+  private def writeMeta(spark: SparkSession, stateDir: String, meta: StateMeta): Unit = {
+    val (hfs, root) = fs(spark, stateDir)
+    hfs.mkdirs(root)
+    val out = hfs.create(new org.apache.hadoop.fs.Path(root, "_meta.json"), true)
+    try out.write(
+      s"""{"nStateBuckets": ${meta.nStateBuckets}, "shingleN": ${meta.shingleN}}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Read `_meta.json`, or write it from the params on first contact. The
+    * write is create-overwrite with constant content, so a replayed batch 0
+    * re-writing it is a no-op in effect. */
+  private[streaming] def readOrInitMeta(spark: SparkSession, stateDir: String,
+      nStateBuckets: Int, shingleN: Int): StateMeta =
+    readMeta(spark, stateDir) match {
+      case Some(meta) =>
+        require(meta.shingleN == shingleN,
+          s"state dir $stateDir was built with shingleN=${meta.shingleN}; " +
+            s"linking it with shingleN=$shingleN would band the same surface " +
+            "under different keys and silently miss candidates")
+        meta
+      case None =>
+        val meta = StateMeta(nStateBuckets, shingleN)
+        writeMeta(spark, stateDir, meta)
+        meta
+    }
+
   /** State read for batch `batchId`: only partitions from EARLIER batches —
-    * a replayed batch must not see its own failed attempt's output. A state
-    * dir that exists but holds no committed parquet footer yet (the very
-    * first batch's write died mid-flight, leaving only `_temporary`) reads
-    * as empty rather than wedging every replay on a schema-inference error
-    * — that crash window is exactly what the replay contract covers. */
+    * a replayed batch must not see its own failed attempt's output — and,
+    * when `prune` is given, only the hash-bucket partitions the batch
+    * touches (partition-directory pruning; the candidate join downstream is
+    * still exact on the full key). A state dir that exists but holds no
+    * committed parquet footer yet (the very first batch's write died
+    * mid-flight, leaving only `_temporary`) reads as empty rather than
+    * wedging every replay on a schema-inference error — that crash window
+    * is exactly what the replay contract covers. */
   private def readState(spark: SparkSession, path: String, schema: StructType,
-      batchId: Long): DataFrame = {
+      batchId: Long, prune: Option[(String, Column)] = None): DataFrame = {
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) empty
-    else try spark.read.parquet(path).filter(col("batch") < batchId)
-      .select(schema.fieldNames.map(col).toSeq: _*)
-    catch { case _: org.apache.spark.sql.AnalysisException => empty }
+    val (hfs, p) = fs(spark, path)
+    if (!hfs.exists(p)) empty
+    else try {
+      // explicit schema (data + partition columns): skips the footer-based
+      // schema-inference job per read, and a state dir whose only write died
+      // before any footer landed reads as empty instead of failing inference
+      val full = StructType(schema.fields :+ StructField("batch", LongType) :+
+        StructField(prune.fold("__unused")(_._1), LongType))
+      val base = spark.read.schema(
+          if (prune.isDefined) full else StructType(full.dropRight(1)))
+        .parquet(path).filter(col("batch") < batchId)
+      prune.fold(base) { case (_, c) => base.filter(c) }
+        .select(schema.fieldNames.map(col).toSeq: _*)
+    } catch { case _: org.apache.spark.sql.AnalysisException => empty }
   }
+
+  private def bucketOf(c: Column, n: Int): Column = pmod(xxhash64(c), lit(n.toLong))
+
+  /** The pruned band-state read for one batch — package-visible so the spec
+    * can assert the scan's file count is bounded by the touched buckets and
+    * PlanDump can publish the partition-filter evidence. */
+  private[graft] def bandState(spark: SparkSession, stateDir: String,
+      batchId: Long, touched: Seq[Long]): DataFrame =
+    readState(spark, s"$stateDir/bands", bandSchema, batchId,
+      Some(("pbucket", col("pbucket").isin(touched: _*))))
+
+  private[graft] def surfaceState(spark: SparkSession, stateDir: String,
+      batchId: Long, touched: Seq[Long]): DataFrame =
+    readState(spark, s"$stateDir/surfaces", surfSchema, batchId,
+      Some(("sbucket", col("sbucket").isin(touched: _*))))
 
   private def jaccardOk(na: String, nb: String, shingleN: Int, threshold: Double): Boolean =
     Hashing.jaccard(Hashing.charShingles(na, shingleN),
@@ -74,33 +164,56 @@ object StreamLink {
   /** Link one micro-batch of triples against (and into) the state. Public
     * for direct testing; [[run]] wires it into foreachBatch. */
   def processBatch(batchDf: DataFrame, stateDir: String, batchId: Long,
-      shingleN: Int = 2, threshold: Double = 0.6): Unit = {
+      shingleN: Int = 2, threshold: Double = 0.6,
+      nStateBuckets: Int = 64): Unit = {
     val spark = batchDf.sparkSession
     import spark.implicits._
-    if (batchDf.isEmpty) return
+    // ONE evaluation of the caller's batch plan, no matter how expensive:
+    // isEmpty, the surface derivation and the provenance join below all read
+    // this checkpoint (a foreachBatch frame is cheap to rescan, but a caller
+    // driving the batch face directly may hand over a kernel-bearing plan)
     val triples = batchDf.select("url", "subjectType", "subject", "relation",
-      "objectType", "obj").as[Triple]
-    val exSurf = readState(spark, s"$stateDir/surfaces", surfSchema, batchId)
-    val exBands = readState(spark, s"$stateDir/bands", bandSchema, batchId)
+      "objectType", "obj").localCheckpoint().as[Triple]
+    if (triples.isEmpty) return
+    val meta = readOrInitMeta(spark, stateDir, nStateBuckets, shingleN)
+    val nB = meta.nStateBuckets
+    val batchSurf = Linker.surfaces(triples).toDF()
+      .localCheckpoint() // bucket probe + anti-join + provenance reuse it
+    // ONE bounded probe job computes both touched-bucket sets (driver-side
+    // collect of at most 2·nB longs, independent of batch or state size).
+    // The band probe runs over ALL batch surfaces — a superset of the new
+    // surfaces' bands, so the pruned band read can only see MORE state than
+    // the candidate join needs, never less
+    val probes = batchSurf.select(bucketOf(col("surface"), nB).as("b"), lit("s").as("k"))
+      .unionByName(batchSurf.select(col("norm")).as[String]
+        .flatMap(n => Linker.bandKeysOf(n, shingleN = shingleN)).toDF("bucket")
+        .select(bucketOf(col("bucket"), nB).as("b"), lit("p").as("k")))
+      .distinct().as[(Long, String)].collect()
+    val sBuckets = probes.collect { case (b, "s") => b }.toSeq
+    val pBuckets = probes.collect { case (b, "p") => b }.toSeq
+    val exSurf = surfaceState(spark, stateDir, batchId, sBuckets)
 
-    val newSurf = Linker.surfaces(triples).toDF()
+    val newSurf = batchSurf
       .join(exSurf.select("surface"), Seq("surface"), "left_anti")
       .localCheckpoint() // two band fan-outs + the assignment reuse it
+    // no checkpoint: a cheap flatMap over the checkpointed newSurf — its
+    // consumers (semi-join, pairing) re-derive it from the materialized
+    // surfaces rather than paying a dedicated job here
     val newBands = newSurf
       .select(col("id"), col("norm"))
       .as[(Long, String)]
       .flatMap { case (id, norm) =>
         Linker.bandKeysOf(norm, shingleN = shingleN).map(b => (b, id, norm))
       }.toDF("bucket", "id", "norm")
+    val exBands = bandState(spark, stateDir, batchId, pBuckets)
 
     // ---- candidate pairs under the hot-band guard (same discipline as
-    // Linker.candidateEdgesLazy): the state side is first semi-joined to
-    // the batch's band values (candidates only — the attach cost is
-    // O(batch × candidates), never O(state)), then band values whose
-    // combined new ∪ candidate-existing membership exceeds `bucketCap`
-    // switch from the all-pairs join to bounded sorted-neighborhood
-    // pairing over the norm — one templated surface family in the state
-    // must not make every later micro-batch quadratic
+    // Linker.candidateEdgesLazy): the (bucket-pruned) state side is
+    // semi-joined to the batch's exact band values — candidates only —
+    // then band values whose combined new ∪ candidate-existing membership
+    // exceeds `bucketCap` switch from the all-pairs join to bounded
+    // sorted-neighborhood pairing over the norm — one templated surface
+    // family in the state must not make every later micro-batch quadratic
     val bucketCap = 1000
     val exCand = exBands.join(newBands.select("bucket").distinct(), Seq("bucket"), "left_semi")
     val tagged = newBands
@@ -126,8 +239,8 @@ object StreamLink {
     val bigPairs =
       if (big.isEmpty) smallPairs.limit(0)
       else {
-        val meta = tagged.select("id", "norm", "is_new", "cid", "rep").distinct()
-        def side(pfx: String) = meta.select(col("id").as(pfx),
+        val meta2 = tagged.select("id", "norm", "is_new", "cid", "rep").distinct()
+        def side(pfx: String) = meta2.select(col("id").as(pfx),
           col("norm").as(s"${pfx}_norm"), col("is_new").as(s"${pfx}_new"),
           col("cid").as(s"${pfx}_cid"), col("rep").as(s"${pfx}_rep"))
         val sn = graft.ops.Neighborhood.sortedNeighborhoodPairs(
@@ -198,22 +311,39 @@ object StreamLink {
         coalesce(col("adopt_rep"), col("new_rep")).as("canonical_surface"))
       .localCheckpoint() // consumed by three writes + the batch resolution
 
-    def overwrite(df: DataFrame, table: String): Unit =
-      df.write.mode("overwrite").parquet(s"$stateDir/$table/batch=$batchId")
-    overwrite(assigned, "surfaces")
+    // bucketed tables repartition BY the bucket column first: every bucket's
+    // rows land in one task, so each pbucket/sbucket dir gets ONE file
+    // instead of (shuffle partitions × buckets) fragments — at month-of-
+    // drops scale the state stays one file per (batch, bucket), and the
+    // pruned reads open exactly as many files as buckets touched
+    def overwrite(df: DataFrame, table: String, bucket: Option[(String, Column)] = None): Unit =
+      bucket match {
+        case Some((name, c)) => df.withColumn(name, c)
+          .repartition(col(name)).write.mode("overwrite")
+          .partitionBy(name).parquet(s"$stateDir/$table/batch=$batchId")
+        case None =>
+          df.write.mode("overwrite").parquet(s"$stateDir/$table/batch=$batchId")
+      }
+    overwrite(assigned, "surfaces", Some(("sbucket", bucketOf(col("surface"), nB))))
     overwrite(assigned.select("id", "norm", "canonical_id", "canonical_surface")
       .as[(Long, String, Long, String)]
       .flatMap { case (id, norm, cid, rep) =>
         Linker.bandKeysOf(norm, shingleN = shingleN).map(b => (b, id, norm, cid, rep))
-      }.toDF("bucket", "id", "norm", "canonical_id", "canonical_surface"), "bands")
+      }.toDF("bucket", "id", "norm", "canonical_id", "canonical_surface"),
+      "bands", Some(("pbucket", bucketOf(col("bucket"), nB))))
     overwrite(bridges, "bridges")
 
-    // this batch's canonical (triple, url) provenance rows under the full
-    // (old ∪ new) resolution — url-grain, NOT pre-aggregated: summing
-    // per-batch counts would double-count a url re-delivered in a later
-    // batch (re-crawl appended to the drop dir, a non-file source), so the
-    // reader aggregates countDistinct over the provenance instead
-    val res = exSurf.select("surface", "canonical_id", "canonical_surface")
+    // this batch's canonical (triple, url) provenance rows under the batch's
+    // OWN resolution — the existing-state side is the bucket-pruned exSurf
+    // semi-joined to the batch's surfaces (every subject/obj of this batch
+    // IS a batchSurf surface, so nothing is lost and the join never scans
+    // full history). Url-grain, NOT pre-aggregated: summing per-batch counts
+    // would double-count a url re-delivered in a later batch (re-crawl
+    // appended to the drop dir, a non-file source), so the reader aggregates
+    // countDistinct over the provenance instead
+    val res = exSurf
+      .join(batchSurf.select("surface"), Seq("surface"), "left_semi")
+      .select("surface", "canonical_id", "canonical_surface")
       .unionByName(assigned.select("surface", "canonical_id", "canonical_surface"))
     val subjRes = res.select(col("surface").as("subject"),
       col("canonical_id").as("subjectId"), col("canonical_surface").as("subjectCanon"))
@@ -242,6 +372,17 @@ object StreamLink {
     spark.read.parquet(s"$stateDir/surfaces")
       .select("surface", "canonical_id", "canonical_surface")
 
+  /** Full surface state rows (id, norm included) — the compaction input. */
+  private[graft] def readSurfaces(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/surfaces")
+      .select("surface", "norm", "id", "canonical_id", "canonical_surface")
+
+  /** Url-grain canonical-triple provenance rows — the compaction input. */
+  private[graft] def readTripleProvenance(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/triples")
+      .select("subjectId", "subject", "subjectType", "relation",
+        "objectId", "obj", "objectType", "url")
+
   /** Aggregated canonical triples across batches. Support counts are
     * countDistinct over the url-grain provenance rows, so a url
     * re-delivered in a later batch counts ONCE — exact regardless of the
@@ -256,4 +397,47 @@ object StreamLink {
     * proved equal — the offline compaction work list. */
   def readBridges(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(s"$stateDir/bridges").select("kept_id", "bridged_id").distinct()
+
+  /** Write a FULL canonical state as `batch=0` of a fresh `outDir` — the
+    * sink [[graft.link.Compaction]] targets. The layout (bucket partition
+    * columns, `_meta.json` pinning) is identical to what [[processBatch]]
+    * writes, so a stream resumed against `outDir` (its checkpoint hands out
+    * batch ids ≥ 1) links incrementally against the compacted state with no
+    * special casing. `surfacesDf`: (surface, norm, id, canonical_id,
+    * canonical_surface); `triplesDf`: url-grain provenance rows. The bridge
+    * ledger is written EMPTY — compaction consumed it. */
+  private[graft] def writeStateSnapshot(spark: SparkSession, outDir: String,
+      surfacesDf: DataFrame, triplesDf: DataFrame, meta: StateMeta): Unit = {
+    import spark.implicits._
+    writeMeta(spark, outDir, meta)
+    val nB = meta.nStateBuckets
+    val sh = meta.shingleN
+    val surf = surfacesDf
+      .select("surface", "norm", "id", "canonical_id", "canonical_surface")
+      .localCheckpoint() // surface write + band fan-out read it
+    // same one-file-per-bucket layout as processBatch's overwrite
+    surf.withColumn("sbucket", bucketOf(col("surface"), nB))
+      .repartition(col("sbucket"))
+      .write.mode("overwrite").partitionBy("sbucket")
+      .parquet(s"$outDir/surfaces/batch=0")
+    surf.select("id", "norm", "canonical_id", "canonical_surface")
+      .as[(Long, String, Long, String)]
+      .flatMap { case (id, norm, cid, rep) =>
+        Linker.bandKeysOf(norm, shingleN = sh).map(b => (b, id, norm, cid, rep))
+      }.toDF("bucket", "id", "norm", "canonical_id", "canonical_surface")
+      .withColumn("pbucket", bucketOf(col("bucket"), nB))
+      .repartition(col("pbucket"))
+      .write.mode("overwrite").partitionBy("pbucket")
+      .parquet(s"$outDir/bands/batch=0")
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("kept_id", LongType),
+          StructField("bridged_id", LongType))))
+      .write.mode("overwrite").parquet(s"$outDir/bridges/batch=0")
+    triplesDf
+      .select("subjectId", "subject", "subjectType", "relation",
+        "objectId", "obj", "objectType", "url")
+      .distinct()
+      .write.mode("overwrite").parquet(s"$outDir/triples/batch=0")
+  }
 }

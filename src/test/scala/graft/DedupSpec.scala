@@ -227,8 +227,8 @@ class DedupSpec extends SparkSpec {
       n = 8, threshold = 0.5, maxDocFreq = 10).collect()
     assert(guarded.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((100L, 101L)),
       s"got ${guarded.mkString(",")}")
-    // default guard (1000) leaves verification-scale semantics untouched:
-    // boilerplate pairs reappear exactly as the unguarded join would emit
+    // default (Int.MaxValue) is exact — the guard is opt-in, so
+    // verification-scale callers see every pair including boilerplate ones
     val unguarded = Dedup.ngramJaccardPairs(df, "doc_id", "text",
       n = 8, threshold = 0.5).count()
     assert(unguarded >= 40L * 39 / 2, s"unguarded=$unguarded")

@@ -92,6 +92,78 @@ class FileCacheSpec extends SparkSpec {
     assert(names.size === 2, s"expected entry + sidecar, got $names")
   }
 
+  test("http(s) sources fetch once, keyed by the response ETag (in-process server, zero egress)") {
+    val (_, cache) = freshDirs()
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var etag = "\"v1\""
+    @volatile var body = "weights mark one".getBytes
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/model.bin", (ex: com.sun.net.httpserver.HttpExchange) => {
+      hits.incrementAndGet()
+      ex.getResponseHeaders.set("ETag", etag)
+      ex.sendResponseHeaders(200, body.length)
+      try ex.getResponseBody.write(body) finally ex.close()
+    })
+    server.createContext("/gone.bin", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(404, -1); ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val uri = s"$base/model.bin"
+      val p1 = FileCache.cachedPath(uri, cache)
+      assert(Files.readAllBytes(Paths.get(p1)).toSeq === body.toSeq)
+      assert(Files.readString(Paths.get(p1 + ".json")).contains("v1"),
+        "sidecar must record the ETag")
+      assert(FileCache.cachedPath(uri, cache) === p1)
+      assert(hits.get() === 1, "a memo hit must not re-contact the server")
+      // a changed remote (new ETag) gets a NEW entry; fresh cacheDir models
+      // a new executor (the per-JVM memo pins the old resolution by design)
+      etag = "\"v2\""; body = "weights mark two, longer".getBytes
+      val cache2 = Files.createTempDirectory("graft-fcache-http2").toString
+      val p2 = FileCache.cachedPath(uri, cache2)
+      assert(Files.readString(Paths.get(p2)) === "weights mark two, longer")
+      assert(Paths.get(p1).getFileName.toString !== Paths.get(p2).getFileName.toString,
+        "the ETag must key the entry name")
+      assert(Files.readString(Paths.get(p1)) === "weights mark one",
+        "old entries are never invalidated")
+      // reference error parity: HTTP 404 raises FileNotFoundException
+      intercept[java.io.FileNotFoundException] {
+        FileCache.cachedPath(s"$base/gone.bin", cache)
+      }
+    } finally server.stop(0)
+  }
+
+  test("stale crash debris (orphan tmp + entry-less sidecar) is swept on re-fetch") {
+    val (src, cache) = freshDirs()
+    Files.write(Paths.get(s"$src/m.bin"), "payload".getBytes)
+    val uri = s"file://$src/m.bin"
+    // plant debris for the SAME entry a crashed fetcher would have left:
+    // name = sha256(uri).sha256(tag) — recompute via a probe fetch into a
+    // scratch cache, which tells us the entry name without touching `cache`
+    val probe = Files.createTempDirectory("graft-fcache-probe").toString
+    val name = Paths.get(FileCache.cachedPath(uri, probe)).getFileName.toString
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * 60 * 60 * 1000)
+    val tmp = Paths.get(cache, s".$name.12345.tmp")
+    Files.write(tmp, "torn".getBytes)
+    Files.setLastModifiedTime(tmp, old)
+    val sidecar = Paths.get(cache, name + ".json")
+    Files.write(sidecar, "{}".getBytes)
+    Files.setLastModifiedTime(sidecar, old)
+    // fresh debris must survive (a concurrent fetcher may own it)
+    val freshTmp = Paths.get(cache, s".$name.99999.tmp")
+    Files.write(freshTmp, "in-flight".getBytes)
+    // memo is keyed (uri, cacheDir), so this is a real fetch into `cache`
+    val p = FileCache.cachedPath(uri, cache)
+    assert(Files.readString(Paths.get(p)) === "payload")
+    assert(!Files.exists(tmp), "stale tmp debris must be swept")
+    assert(Files.exists(freshTmp), "fresh tmp (possibly another process's) must survive")
+    assert(Files.readString(sidecar).contains("\"url\""),
+      "the stale entry-less sidecar must have been replaced by the real one")
+  }
+
   test("executor-side use: tasks resolve the same local path via the memo") {
     val (src, cache) = freshDirs()
     Files.write(Paths.get(s"$src/shared.bin"), "shared weights".getBytes)

@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.link.{Compaction, Linker}
+import graft.ops.Hashing
+import graft.pipeline.Extract
+import graft.schema.Triple
+import graft.streaming.StreamLink
+import graft.synth.Corpus
+
+/** Offline bridge compaction: the compacted state must equal what the BATCH
+  * linker would publish on the union corpus, the migration map must cover
+  * the ledgered ids, and the stream must continue against the compacted
+  * state. */
+class LinkCompactionSpec extends SparkSpec {
+
+  private def jac(a: String, b: String) =
+    Hashing.jaccard(Hashing.charShingles(a, 2), Hashing.charShingles(b, 2))
+  private def shareBand(a: String, b: String) =
+    Linker.bandKeysOf(a).toSet.intersect(Linker.bandKeysOf(b).toSet).nonEmpty
+
+  test("compaction = batch linker on the union corpus; ledgered ids migrate; the stream continues") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-compact").toString
+    val state = s"$root/state"; val out = s"$root/compacted"
+
+    // real corpus bulk (exercises grown components and arbitrary id orders)
+    // + the deterministic bridge fixture from StreamLinkSpec, so ≥1 bridge
+    // is guaranteed rather than corpus luck
+    val x = "mmmmnnnnoooopppp"
+    val a = (for { c1 <- 'a' to 'z'; c2 <- 'a' to 'z' } yield s"$c1${c2}mmnnnnoooopppp")
+      .find(s => jac(s, x) >= 0.6 && shareBand(s, x)).get
+    val b = ('a' to 'z').flatMap(c1 => ('a' to 'z').map(c2 => s"mmmmnnnnoooop$c1$c2$c1"))
+      .find(s => jac(s, x) >= 0.6 && shareBand(s, x) && jac(s, a) < 0.6).get
+    def t(subj: String, obj: String, url: String) =
+      Triple(url, "Mass", subj, "Location", "Location", obj)
+
+    val corpus = Extract.triples(
+      Corpus.pages(spark, 140, seed = 42, noisyFrac = 0.0).toDF()).toDF()
+      .localCheckpoint()
+    val batch0 = corpus.filter(xxhash64(col("url")) % 3 === 0)
+      .unionByName(Seq(t(a, "objone", "bx1"), t(b, "objtwo", "bx2")).toDF())
+    val batch1 = corpus.filter(xxhash64(col("url")) % 3 === 1)
+    val batch2 = corpus.filter(xxhash64(col("url")) % 3 === 2)
+      .unionByName(Seq(t(x, a, "bx3")).toDF())
+    StreamLink.processBatch(batch0, state, batchId = 0)
+    StreamLink.processBatch(batch1, state, batchId = 1)
+    StreamLink.processBatch(batch2, state, batchId = 2)
+    val ledger = StreamLink.readBridges(spark, state).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ledger.nonEmpty, "fixture must ledger at least one bridge")
+
+    val mig = Compaction.compact(spark, state, out).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getBoolean(3)))
+      .toMap
+
+    // (1) post-compaction resolution == the batch linker on the union corpus
+    val union = batch0.unionByName(batch1).unionByName(batch2).as[Triple]
+    val want = Linker.resolution(Linker.surfaces(union)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    val got = StreamLink.readResolution(spark, out).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got === want,
+      "compacted resolution must equal a from-scratch batch run")
+
+    // (2) canonical triples too (ids, representatives, url support counts)
+    def tripleSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("subjectId", "subject", "subjectType", "relation",
+        "objectId", "obj", "objectType", "urls")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getString(5), r.getString(6), r.getLong(7)))
+      .toSet
+    assert(tripleSet(StreamLink.readCanonicalTriples(spark, out)) ===
+      tripleSet(Linker.canonicalTriples(union).toDF()))
+
+    // (3) the migration map covers the ledgered ids: every bridged id has a
+    // changed row pointing at its merged component's new canonical id
+    for ((kept, bridged) <- ledger) {
+      assert(mig.contains(kept) && mig.contains(bridged),
+        s"ledgered ids ($kept, $bridged) must be in the migration map")
+      val (newB, _, changedB) = mig(bridged)
+      assert(changedB && newB < bridged,
+        "a bridged id must migrate to the merged component's minimum")
+      assert(mig(kept)._1 === newB,
+        "kept and bridged ids of one bridge must land on the SAME new id")
+    }
+    // the map is total over published ids and self-consistent with (1)
+    for ((old, (nw, surf, changed)) <- mig) {
+      assert(changed === (old != nw))
+      assert(want.values.exists { case (cid, rep) => cid == nw && rep == surf },
+        s"migrated id $nw/$surf must be a canonical id the batch run publishes")
+    }
+
+    // (4) compaction consumed the ledger and the stream continues: a later
+    // batch against the compacted state attaches to compacted ids
+    assert(StreamLink.readBridges(spark, out).count() === 0)
+    StreamLink.processBatch(Seq(t(x, "brand new object qqq", "bx4")).toDF(),
+      out, batchId = 1)
+    val res2 = StreamLink.readResolution(spark, out).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(res2(x) === want(x)._1, "an existing surface keeps its compacted id")
+    val dup = StreamLink.readResolution(spark, out)
+      .groupBy("surface").count().filter(col("count") > 1).count()
+    assert(dup === 0, "continuing the stream must not re-publish surfaces")
+  }
+}

@@ -93,4 +93,71 @@ class StreamLinkSpec extends SparkSpec {
     assert(res3 === res2, "a replayed micro-batch must be a no-op on the state")
     assert(StreamLink.readCanonicalTriples(spark, state).collect().length === 3)
   }
+
+  test("per-batch state reads scan only the hash-bucket partitions the batch touches") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-streamlink-prune").toString
+
+    // one committed batch spreading a few hundred surfaces over 8 buckets
+    val t0 = (0 until 200).map(i =>
+      Triple(s"u$i", "Mass", f"surface number $i%03d lorem ipsum", "Location",
+        "Location", f"object value $i%03d dolor sit"))
+    StreamLink.processBatch(t0.toDF(), state, batchId = 0, nStateBuckets = 8)
+    assert(StreamLink.readMeta(spark, state).get.nStateBuckets === 8,
+      "the bucket count must be pinned in _meta.json")
+
+    def parquetFiles(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val s = Files.walk(dir)
+      try {
+        val b = Seq.newBuilder[java.nio.file.Path]
+        s.iterator().forEachRemaining(p =>
+          if (p.getFileName.toString.endsWith(".parquet")) b += p)
+        b.result()
+      } finally s.close()
+    }
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect() // execute THIS df so its scan metrics are populated
+      val resolved = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scans = resolved.collectLeaves().collect { case f: FileSourceScanExec => f }
+      assert(scans.nonEmpty, resolved.toString.take(1500))
+      scans.map(_.metrics("numFiles").value).sum
+    }
+
+    val bandsRoot = java.nio.file.Paths.get(state, "bands")
+    val allBandFiles = parquetFiles(bandsRoot).size
+    for (touched <- Seq(Seq(3L), Seq(1L, 6L))) {
+      val expected = touched.map(b =>
+        parquetFiles(bandsRoot.resolve("batch=0").resolve(s"pbucket=$b")).size).sum
+      assert(expected > 0, s"fixture too small: bucket(s) $touched are empty")
+      val read = scannedFiles(StreamLink.bandState(spark, state, batchId = 1, touched))
+      assert(read === expected.toLong,
+        s"band scan for buckets $touched read $read files, expected $expected")
+      assert(read < allBandFiles,
+        "pruned read must not touch the full band state")
+    }
+    val surfRoot = java.nio.file.Paths.get(state, "surfaces")
+    val surfExpected = parquetFiles(
+      surfRoot.resolve("batch=0").resolve("sbucket=2")).size
+    val surfRead = scannedFiles(StreamLink.surfaceState(spark, state, 1, Seq(2L)))
+    assert(surfRead === surfExpected.toLong && surfRead < parquetFiles(surfRoot).size)
+
+    // behavior is unchanged by the pruning: a second batch re-mentioning an
+    // existing surface plus a brand-new one resolves the old surface through
+    // the (pruned) state without re-publishing it
+    val oldSurface = t0.head.subject
+    StreamLink.processBatch(
+      Seq(Triple("ux", "Mass", oldSurface, "Location", "Location",
+        "completely fresh object zzz")).toDF(), state, batchId = 1)
+    val res = StreamLink.readResolution(spark, state).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dup = StreamLink.readResolution(spark, state)
+      .groupBy("surface").count().filter(col("count") > 1).count()
+    assert(dup === 0, "an already-published surface must not be re-added")
+    assert(res.contains("completely fresh object zzz"))
+  }
 }
