@@ -27,6 +27,34 @@ object Dedup {
   final case class LshStats(n: Long, bandBits: Int, bands: Int,
       candidates: Long, verified: Long)
 
+  /** The adaptive sign-bit LSH geometry for `n` vectors: (bandBits, bands)
+    * solved jointly to a fixpoint (see [[embeddingCosinePairsLsh]] for the
+    * derivation) so that `2^bandBits ≥ n·bands/32` — total expected
+    * candidate pairs `bands·n²/2^(bandBits+1)` ≤ 16·n — while `bands` holds
+    * ≥ 90% recall at the 0.85-cosine design point for that width. Pure and
+    * package-visible so the invariants are unit-testable. bandBits is
+    * monotonically non-decreasing across iterations (the recall-driven band
+    * count is non-decreasing in the width) and capped at 17, so the loop
+    * terminates; the [8,17] × [8,64] clamps saturate together at
+    * n ≈ 2^17·32/64 ≈ 65k vectors, past which occupancy grows again —
+    * documented trade, raise both clamps for larger deployments. */
+  private[graft] def lshGeometry(n: Long): (Int, Int) = {
+    def ceilLog2(x: Long) =
+      if (x <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1)
+    val p = 1.0 - math.acos(0.85) / math.Pi
+    def bandsFor(bb: Int): Int = math.min(64, math.max(8,
+      math.ceil(math.log(0.1) / math.log(1.0 - math.pow(p, bb))).toInt))
+    var bb = math.min(17, math.max(8, ceilLog2(math.max(n / 32, 1))))
+    var nb = bandsFor(bb)
+    var settled = false
+    while (!settled) {
+      val next = math.min(17, math.max(8, ceilLog2(math.max(n / 32 * nb, 1))))
+      if (next == bb) settled = true
+      else { bb = next; nb = bandsFor(bb) }
+    }
+    (bb, nb)
+  }
+
   /** Measured volumes of one [[minhashLsh]] invocation — in particular the
     * hot-bucket cap engagement (`hotBuckets`/`hotRows`) the 100 TB scale
     * story leans on: candidate pairs from oversized buckets are bounded at
@@ -329,28 +357,7 @@ object Dedup {
       if (bits > 0) {
         require(bits % bands == 0 && bits / bands <= 63, "bandBits must fit a Long key")
         (bits / bands, bands)
-      } else {
-        def ceilLog2(x: Long) =
-          if (x <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1)
-        val p = 1.0 - math.acos(0.85) / math.Pi
-        // band count that holds ≥90% recall at the design point for a given
-        // band width; cap 17 bits is where this still fits 64 bands
-        def bandsFor(bb: Int): Int = math.min(64, math.max(8,
-          math.ceil(math.log(0.1) / math.log(1.0 - math.pow(p, bb))).toInt))
-        // joint fixpoint: 2^bandBits ≥ n·bands/32 bounds TOTAL expected
-        // candidates (bands·n²/2^(bandBits+1)) at 16·n. bandBits is
-        // monotonically non-decreasing across iterations (bandsFor is
-        // non-decreasing in bb) and capped, so this terminates.
-        var bb = math.min(17, math.max(8, ceilLog2(math.max(n / 32, 1))))
-        var nb = bandsFor(bb)
-        var settled = false
-        while (!settled) {
-          val next = math.min(17, math.max(8, ceilLog2(math.max(n / 32 * nb, 1))))
-          if (next == bb) settled = true
-          else { bb = next; nb = bandsFor(bb) }
-        }
-        (bb, nb)
-      }
+      } else lshGeometry(n)
     val totalBits = bandBits * nBands
     val sigs = vecs.mapPartitions { it =>
       var planes: Array[Array[Double]] = null // built once per task

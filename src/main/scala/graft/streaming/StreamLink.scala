@@ -47,9 +47,10 @@ import graft.schema.Triple
   *    aggregate countDistinct(url), exact under any delivery guarantee)
   *
   * The bucket count N and the shingle width are pinned in `_meta.json` on
-  * the first batch and ADOPTED (param ignored, loudly on mismatch only for
-  * shingleN) by every later one — a silently changed N would prune reads
-  * against partitions written under the old N and silently lose candidates.
+  * the first batch and ADOPTED by every later one (the nStateBuckets param
+  * is ignored once pinned; a shingleN mismatch fails loudly) — a silently
+  * changed N would prune reads against partitions written under the old N
+  * and silently lose candidates.
   */
 object StreamLink {
 

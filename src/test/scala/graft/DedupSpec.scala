@@ -234,6 +234,29 @@ class DedupSpec extends SparkSpec {
     assert(unguarded >= 40L * 39 / 2, s"unguarded=$unguarded")
   }
 
+  test("adaptive LSH geometry: total candidate volume stays linear, recall design point holds") {
+    val p = 1.0 - math.acos(0.85) / math.Pi
+    for (n <- Seq(100L, 1000L, 5000L, 20000L, 50000L, 65000L)) {
+      val (bb, nb) = Dedup.lshGeometry(n)
+      assert(bb >= 8 && bb <= 17 && nb >= 8 && nb <= 64, s"n=$n clamps violated: ($bb,$nb)")
+      // the fixpoint invariant: expected TOTAL candidate pairs
+      // nb*n^2/2^(bb+1) <= 16n, i.e. n*nb <= 32*2^bb — this is exactly what
+      // failed before (band count grew n^0.28 on top of linear per-band
+      // volume), so pin it over the whole pre-saturation range
+      assert(n * nb <= 32L * (1L << bb),
+        s"n=$n: candidate budget broken — nb=$nb bb=$bb (n*nb=${n * nb} > ${32L * (1L << bb)})")
+      // >= 90% recall at the 0.85-cosine design point
+      val recall = 1.0 - math.pow(1.0 - math.pow(p, bb), nb)
+      assert(recall >= 0.9, s"n=$n: design-point recall $recall < 0.9 at ($bb,$nb)")
+    }
+    // pinned values at the bench's scale points (change = geometry change,
+    // which must be a deliberate, re-measured decision)
+    assert(Dedup.lshGeometry(5000L) === ((12, 23)))
+    assert(Dedup.lshGeometry(50000L) === ((17, 62)))
+    // saturation: past ~65k vectors the clamps hold and occupancy grows
+    assert(Dedup.lshGeometry(1000000L) === ((17, 62)))
+  }
+
   test("hashing primitives are deterministic across calls") {
     assert(Hashing.hash64("abc") === Hashing.hash64("abc"))
     assert(Hashing.hash64("abc") !== Hashing.hash64("abd"))
