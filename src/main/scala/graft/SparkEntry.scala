@@ -449,9 +449,12 @@ object SparkEntry {
       val triples = Extract.triples(
         Corpus.pages(s, 120, seed = 42, noisyFrac = 0.0).toDF()).toDF()
         .localCheckpoint()
+      // pmod, not %: xxhash64 is signed and Spark's % keeps the dividend's
+      // sign, so `% 3 === i` over i in 0..2 would silently drop every row
+      // with a negative hash and nonzero remainder (~1/3 of the corpus)
       for (i <- 0 until 3)
         graft.streaming.StreamLink.processBatch(
-          triples.filter(xxhash64(col("url")) % 3 === i), work, batchId = i)
+          triples.filter(pmod(xxhash64(col("url")), lit(3)) === i), work, batchId = i)
       graft.link.Compaction.compact(s, work, s"$work/compacted")
         .orderBy("old_id")
     }),

@@ -70,27 +70,54 @@ object FileCache {
     if (uri.startsWith("http://") || uri.startsWith("https://")) {
       // reference path (utils/file_utils.py:118-230): one GET whose response
       // HEADERS carry the version tag — the entry name is known before the
-      // body is consumed, so a hit closes the stream without downloading
-      val conn = new java.net.URL(uri).openConnection()
-        .asInstanceOf[java.net.HttpURLConnection]
-      conn.setInstanceFollowRedirects(true)
-      conn.setConnectTimeout(30000)
-      conn.setReadTimeout(120000)
-      try {
-        val code = conn.getResponseCode
-        if (code == 404 || code == 410)
-          throw new java.io.FileNotFoundException(s"file $uri not found ($code)")
-        if (code >= 400)
-          throw new java.io.IOException(s"HEAD/GET $uri failed: HTTP $code")
-        val tag = Option(conn.getHeaderField("ETag"))
-          .orElse(Option(conn.getHeaderField("Last-Modified")))
-          .getOrElse(s"len:${conn.getContentLengthLong}")
-        materialize(uri, tag, cacheDir) { tmp =>
-          val in = conn.getInputStream
-          try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING): Unit
-          finally in.close()
-        }
-      } finally conn.disconnect()
+      // body is consumed, so a hit closes the stream without downloading.
+      // Redirects are followed MANUALLY: HttpURLConnection never follows a
+      // protocol-switching 3xx (http→https, the common CDN case) even with
+      // setInstanceFollowRedirects, and silently caching the redirect's
+      // stub body as the artifact would hand an executor garbage weights.
+      var target = uri
+      var hops = 0
+      while (true) {
+        val conn = new java.net.URL(target).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        conn.setInstanceFollowRedirects(false)
+        conn.setConnectTimeout(30000)
+        conn.setReadTimeout(120000)
+        try {
+          val code = conn.getResponseCode
+          if (code == 404 || code == 410)
+            throw new java.io.FileNotFoundException(s"file $target not found ($code)")
+          if (code >= 300 && code < 400) {
+            val loc = Option(conn.getHeaderField("Location")).getOrElse(
+              throw new java.io.IOException(s"GET $target: HTTP $code without Location"))
+            target = new java.net.URL(new java.net.URL(target), loc).toString
+            hops += 1
+            if (hops > 5)
+              throw new java.io.IOException(s"GET $uri: too many redirects (last $target)")
+          } else if (code >= 400) {
+            throw new java.io.IOException(s"GET $target failed: HTTP $code")
+          } else {
+            // version tag preference mirrors the reference: ETag, else
+            // Last-Modified, else content length. A validator-less CHUNKED
+            // response (length -1) gets the explicit tag "unversioned" —
+            // one entry per url forever, exactly the reference's
+            // etag=None behavior (utils/file_utils.py:160-163): stale-serve
+            // on change is the documented semantics there, not a new entry.
+            val len = conn.getContentLengthLong
+            val tag = Option(conn.getHeaderField("ETag"))
+              .orElse(Option(conn.getHeaderField("Last-Modified")))
+              .getOrElse(if (len >= 0) s"len:$len" else "unversioned")
+            // entry is keyed by the ORIGINAL uri (what callers resolve by),
+            // bytes come from the redirect target
+            return materialize(uri, tag, cacheDir) { tmp =>
+              val in = conn.getInputStream
+              try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING): Unit
+              finally in.close()
+            }
+          }
+        } finally conn.disconnect()
+      }
+      throw new IllegalStateException("unreachable")
     } else {
       val src = new org.apache.hadoop.fs.Path(uri)
       val fs = src.getFileSystem(conf)

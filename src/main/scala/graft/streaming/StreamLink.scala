@@ -109,6 +109,18 @@ object StreamLink {
             "under different keys and silently miss candidates")
         meta
       case None =>
+        // a dir that already holds state tables but no _meta.json was
+        // written by something else (or a pre-bucketed layout): adopting it
+        // as fresh would prune every read against partitions that don't
+        // carry the bucket columns — state silently reads as EMPTY and
+        // every published surface gets re-published. Refuse loudly.
+        val (hfs, root) = fs(spark, stateDir)
+        for (t <- Seq("surfaces", "bands"))
+          require(!hfs.exists(new org.apache.hadoop.fs.Path(root, t)),
+            s"$stateDir contains a $t/ state table but no _meta.json — " +
+              "not a state dir this layout wrote; refusing to adopt it " +
+              "(relink from scratch, or compact the old state with the " +
+              "version that wrote it)")
         val meta = StateMeta(nStateBuckets, shingleN)
         writeMeta(spark, stateDir, meta)
         meta
@@ -118,21 +130,20 @@ object StreamLink {
     * a replayed batch must not see its own failed attempt's output — and,
     * when `prune` is given, only the hash-bucket partitions the batch
     * touches (partition-directory pruning; the candidate join downstream is
-    * still exact on the full key). A state dir that exists but holds no
-    * committed parquet footer yet (the very first batch's write died
-    * mid-flight, leaving only `_temporary`) reads as empty rather than
-    * wedging every replay on a schema-inference error — that crash window
-    * is exactly what the replay contract covers. */
+    * still exact on the full key). The schema (data + partition columns) is
+    * passed explicitly: no footer-based inference job per read, and a state
+    * dir whose only write died before any footer landed (just `_temporary`
+    * debris) lists no data files and reads as EMPTY — the crash window the
+    * replay contract covers. Any other failure (corrupt partition dir
+    * names, unreadable files) throws: state corruption must be loud, not
+    * an empty read that re-publishes every surface. */
   private def readState(spark: SparkSession, path: String, schema: StructType,
       batchId: Long, prune: Option[(String, Column)] = None): DataFrame = {
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val (hfs, p) = fs(spark, path)
     if (!hfs.exists(p)) empty
-    else try {
-      // explicit schema (data + partition columns): skips the footer-based
-      // schema-inference job per read, and a state dir whose only write died
-      // before any footer landed reads as empty instead of failing inference
+    else {
       val full = StructType(schema.fields :+ StructField("batch", LongType) :+
         StructField(prune.fold("__unused")(_._1), LongType))
       val base = spark.read.schema(
@@ -140,7 +151,7 @@ object StreamLink {
         .parquet(path).filter(col("batch") < batchId)
       prune.fold(base) { case (_, c) => base.filter(c) }
         .select(schema.fieldNames.map(col).toSeq: _*)
-    } catch { case _: org.apache.spark.sql.AnalysisException => empty }
+    }
   }
 
   private def bucketOf(c: Column, n: Int): Column = pmod(xxhash64(c), lit(n.toLong))

@@ -135,6 +135,39 @@ class FileCacheSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("http redirects are followed to the artifact (not cached as the artifact); loops fail") {
+    val (_, cache) = freshDirs()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def port = server.getAddress.getPort
+    val payload = "real artifact bytes".getBytes
+    server.createContext("/redirect.bin", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.getResponseHeaders.set("Location", s"http://127.0.0.1:$port/real.bin")
+      ex.sendResponseHeaders(302, -1); ex.close()
+    })
+    server.createContext("/real.bin", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.getResponseHeaders.set("ETag", "\"real-v1\"")
+      ex.sendResponseHeaders(200, payload.length)
+      try ex.getResponseBody.write(payload) finally ex.close()
+    })
+    server.createContext("/loop.bin", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.getResponseHeaders.set("Location", s"http://127.0.0.1:$port/loop.bin")
+      ex.sendResponseHeaders(302, -1); ex.close()
+    })
+    server.start()
+    try {
+      val p = FileCache.cachedPath(s"http://127.0.0.1:$port/redirect.bin", cache)
+      assert(Files.readAllBytes(Paths.get(p)).toSeq === payload.toSeq,
+        "the TARGET's bytes must be cached, never the 302 stub")
+      assert(Files.readString(Paths.get(p + ".json")).contains("redirect.bin"),
+        "the entry is keyed by the uri the caller resolves")
+      val e = intercept[java.io.IOException] {
+        FileCache.cachedPath(s"http://127.0.0.1:$port/loop.bin", cache)
+      }
+      assert(e.getMessage.contains("too many redirects"), e.getMessage)
+    } finally server.stop(0)
+  }
+
   test("stale crash debris (orphan tmp + entry-less sidecar) is swept on re-fetch") {
     val (src, cache) = freshDirs()
     Files.write(Paths.get(s"$src/m.bin"), "payload".getBytes)

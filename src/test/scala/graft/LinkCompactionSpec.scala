@@ -41,10 +41,12 @@ class LinkCompactionSpec extends SparkSpec {
     val corpus = Extract.triples(
       Corpus.pages(spark, 140, seed = 42, noisyFrac = 0.0).toDF()).toDF()
       .localCheckpoint()
-    val batch0 = corpus.filter(xxhash64(col("url")) % 3 === 0)
+    // pmod, not %: signed remainders would silently drop ~1/3 of the corpus
+    // from every batch (and from the union the equality check runs against)
+    val batch0 = corpus.filter(pmod(xxhash64(col("url")), lit(3)) === 0)
       .unionByName(Seq(t(a, "objone", "bx1"), t(b, "objtwo", "bx2")).toDF())
-    val batch1 = corpus.filter(xxhash64(col("url")) % 3 === 1)
-    val batch2 = corpus.filter(xxhash64(col("url")) % 3 === 2)
+    val batch1 = corpus.filter(pmod(xxhash64(col("url")), lit(3)) === 1)
+    val batch2 = corpus.filter(pmod(xxhash64(col("url")), lit(3)) === 2)
       .unionByName(Seq(t(x, a, "bx3")).toDF())
     StreamLink.processBatch(batch0, state, batchId = 0)
     StreamLink.processBatch(batch1, state, batchId = 1)

@@ -94,6 +94,21 @@ class StreamLinkSpec extends SparkSpec {
     assert(StreamLink.readCanonicalTriples(spark, state).collect().length === 3)
   }
 
+  test("a state dir with tables but no _meta.json is refused, never adopted as fresh") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-streamlink-legacy").toString
+    // simulate a foreign / pre-bucketed layout: a surfaces table with no meta
+    Seq(("s", "s", 1L, 1L, "s"))
+      .toDF("surface", "norm", "id", "canonical_id", "canonical_surface")
+      .write.parquet(s"$state/surfaces/batch=0")
+    val e = intercept[IllegalArgumentException] {
+      StreamLink.processBatch(
+        Seq(Triple("u", "Mass", "subj", "Location", "Location", "obj")).toDF(),
+        state, batchId = 1)
+    }
+    assert(e.getMessage.contains("no _meta.json"), e.getMessage)
+  }
+
   test("per-batch state reads scan only the hash-bucket partitions the batch touches") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
