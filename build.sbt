@@ -31,5 +31,13 @@ Test / envVars += "SPARK_SCALA_VERSION" -> "2.13"
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  // GCLocker starvation guard: parquet's compression codecs hold JNI
+  // critical sections; at local[32] allocation pressure the default retry
+  // count (2) can surface a SPURIOUS "Java heap space" OOM ("Retried
+  // waiting for GCLocker too often") with the heap nowhere near full —
+  // observed once killing a bench run mid-battery. Standard JVM workaround
+  // (diagnostic flag, hence the unlock).
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=64",
 )

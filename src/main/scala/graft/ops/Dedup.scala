@@ -167,20 +167,25 @@ object Dedup {
     val docs = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
       .as[(Long, String)].persist()
-    // minhash signature per doc — computed in one pass, no shuffle
+    // minhash signature per doc — computed in one pass, no shuffle.
+    // Persisted: the bucket-size aggregation and the size-attach join both
+    // read the band fan-out, which would otherwise re-shingle + re-minhash
+    // every document twice; the per-doc signature row is k longs.
     val sigs = docs.map { case (id, text) =>
       val sh = Hashing.charShingles(text.toLowerCase, shingleN)
       (id, Hashing.minhash(sh, k))
-    }.toDF("doc_id", "sig")
+    }.toDF("doc_id", "sig").persist()
 
-    // band keys (hash of each signature slice) + the full signature as a
-    // sort key for hot-bucket sorted-neighborhood
+    // band keys (hash of each signature slice); the full-signature sort key
+    // for hot-bucket sorted-neighborhood is joined back from the persisted
+    // sigs for the (usually empty) oversized subset only — it would
+    // otherwise be the dominating column on every row of the size
+    // aggregation and size-attach exchanges
     val banded = sigs.select(col("doc_id"),
-        concat_ws(",", col("sig").cast("array<string>")).as("sort_key"),
         posexplode(array(
           (0 until bands).map(b => xxhash64(concat(lit(s"band$b"),
             slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast("string")))): _*)))
-      .toDF("doc_id", "sort_key", "band", "bucket")
+      .toDF("doc_id", "band", "bucket")
 
     val sizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("bucket_n"))
     val sized = banded.join(sizes, Seq("band", "bucket")).persist()
@@ -195,8 +200,10 @@ object Dedup {
     val bigPairs =
       if (big.isEmpty) smallPairs.limit(0) // cached probe; skip the rank jobs
       else graft.ops.Neighborhood.sortedNeighborhoodPairs(
-          big.select(xxhash64(col("band"), col("bucket")).as("bucket"),
-            col("doc_id").as("id"), col("sort_key").as("sort")), neighborWindow)
+          big.join(sigs.select(col("doc_id"),
+              concat_ws(",", col("sig").cast("array<string>")).as("sort_key")), "doc_id")
+            .select(xxhash64(col("band"), col("bucket")).as("bucket"),
+              col("doc_id").as("id"), col("sort_key").as("sort")), neighborWindow)
         .select(col("src"), col("dst"))
 
     val cand = smallPairs.unionByName(bigPairs).distinct().persist()
@@ -237,7 +244,7 @@ object Dedup {
         cand.count(), edges.count()))
     }
     val comp = ConnectedComponents.run(edges)
-    sized.unpersist(); cand.unpersist(); docs.unpersist()
+    sized.unpersist(); cand.unpersist(); sigs.unpersist(); docs.unpersist()
     df.filter(col(idCol).isNotNull)
       .select(col(idCol).cast("long").as("doc_id"))
       .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
@@ -382,8 +389,20 @@ object Dedup {
         (id, keys, sortKey.toString)
       }
     }.toDF("id", "keys", "sort_key")
-    val banded = sigs.select(col("id"), col("sort_key"), posexplode(col("keys")))
-      .toDF("id", "sort_key", "band", "key")
+      // persisted: the bucket-size aggregation and the size-attach join both
+      // read the banded fan-out, which would otherwise evaluate the
+      // hyperplane hashing TWICE per vector — at scale the signatures are
+      // bands×bandBits dot products each, the single biggest map-side cost.
+      // Persisting the COMPACT per-vector row (not the fan-out, whose
+      // sort_key string is duplicated per band) keeps storage O(n·sigBytes).
+      .persist()
+    // the fan-out carries ONLY (id, band, key): the full-signature sort key
+    // (bands×bandBits chars — the row-dominating column) is needed only by
+    // the hot-bucket fallback, so it is joined back from the persisted sigs
+    // for that (usually empty) subset instead of riding every banded row
+    // through the size aggregation and size-attach exchanges
+    val banded = sigs.select(col("id"), posexplode(col("keys")))
+      .toDF("id", "band", "key")
 
     val sizes = banded.groupBy("band", "key").agg(count(lit(1)).as("bucket_n"))
     val sized = banded.join(sizes, Seq("band", "key")).persist()
@@ -397,8 +416,9 @@ object Dedup {
     val bigPairs =
       if (big.isEmpty) smallPairs.limit(0)
       else Neighborhood.sortedNeighborhoodPairs(
-          big.select(xxhash64(col("band"), col("key")).as("bucket"),
-            col("id"), col("sort_key").as("sort")), neighborWindow)
+          big.join(sigs.select(col("id"), col("sort_key")), "id")
+            .select(xxhash64(col("band"), col("key")).as("bucket"),
+              col("id"), col("sort_key").as("sort")), neighborWindow)
         .select(col("src").as("id_a"), col("dst").as("id_b"))
     // persisted: candIds' union reads cand twice and the verify join once
     val cand = smallPairs.unionByName(bigPairs).distinct().persist()
@@ -429,7 +449,7 @@ object Dedup {
     // already consumed; verified is checkpointed) — metadata-cheap actions
     onStats.foreach(f =>
       f(LshStats(n, bandBits, nBands, cand.count(), verified.count())))
-    sized.unpersist(); cand.unpersist(); vecs.unpersist()
+    sized.unpersist(); cand.unpersist(); sigs.unpersist(); vecs.unpersist()
     verified.select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
 

@@ -234,6 +234,25 @@ class DedupSpec extends SparkSpec {
     assert(unguarded >= 40L * 39 / 2, s"unguarded=$unguarded")
   }
 
+  test("embedding LSH hot buckets fall back to sorted-neighborhood (bounded pairs, evidence kept)") {
+    import spark.implicits._
+    // 300 tiny perturbations of one vector: every band bucket holds all of
+    // them, far above bucketCap=50, so the SMALL path sees nothing and the
+    // sorted-neighborhood fallback (which joins the sort key back from the
+    // signature table) must carry all the pair evidence
+    val base = Array.tabulate(8)(i => math.sin(i + 1.0).toFloat)
+    val rows = (0L until 300L).map { i =>
+      (i, base.zipWithIndex.map { case (x, j) => x + 1e-4f * ((i + j) % 7) }.toSeq)
+    }
+    val pairs = Dedup.embeddingCosinePairsLsh(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.999, bits = 48, bands = 4,
+      bucketCap = 50, neighborWindow = 8).collect()
+    assert(pairs.nonEmpty, "hot-bucket fallback must still emit near-dup pairs")
+    assert(pairs.forall(_.getDouble(2) >= 0.999))
+    // bounded: O(members × window) per bucket-family, never the ~45k all-pairs
+    assert(pairs.length < 300 * 8 * 2, s"pair count ${pairs.length} not bounded")
+  }
+
   test("adaptive LSH geometry: total candidate volume stays linear, recall design point holds") {
     val p = 1.0 - math.acos(0.85) / math.Pi
     for (n <- Seq(100L, 1000L, 5000L, 20000L, 50000L, 65000L)) {
