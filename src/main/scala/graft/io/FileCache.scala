@@ -91,6 +91,11 @@ object FileCache {
             val loc = Option(conn.getHeaderField("Location")).getOrElse(
               throw new java.io.IOException(s"GET $target: HTTP $code without Location"))
             target = new java.net.URL(new java.net.URL(target), loc).toString
+            // a redirect out of http(s) would CCE on the connection cast
+            // below — refuse it in this method's own error vocabulary
+            if (!target.startsWith("http://") && !target.startsWith("https://"))
+              throw new java.io.IOException(
+                s"GET $uri: redirect to non-http(s) target $target refused")
             hops += 1
             if (hops > 5)
               throw new java.io.IOException(s"GET $uri: too many redirects (last $target)")

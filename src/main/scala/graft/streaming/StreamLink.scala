@@ -115,7 +115,7 @@ object StreamLink {
         // carry the bucket columns — state silently reads as EMPTY and
         // every published surface gets re-published. Refuse loudly.
         val (hfs, root) = fs(spark, stateDir)
-        for (t <- Seq("surfaces", "bands"))
+        for (t <- Seq("surfaces", "bands", "triples", "bridges"))
           require(!hfs.exists(new org.apache.hadoop.fs.Path(root, t)),
             s"$stateDir contains a $t/ state table but no _meta.json — " +
               "not a state dir this layout wrote; refusing to adopt it " +
