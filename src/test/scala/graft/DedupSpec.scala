@@ -253,6 +253,37 @@ class DedupSpec extends SparkSpec {
     assert(pairs.length < 300 * 8 * 2, s"pair count ${pairs.length} not bounded")
   }
 
+  test("adaptive LSH recall: near-dup pairs found by the banded path match the exact path") {
+    import spark.implicits._
+    // 2000 uniform 32-dim vectors with every 8th a near-copy of its
+    // predecessor (cosine ≳ 0.999 — far above the 0.85 design point, where
+    // the geometry's collision probability is ≈ 1): the LSH path must
+    // recover essentially every pair the exhaustive path emits
+    def vec(i: Long): Array[Float] = {
+      var s = graft.ops.Hashing.splitmix64(911L + i * 6364136223846793005L)
+      Array.fill(32) {
+        s = graft.ops.Hashing.splitmix64(s)
+        (((s >>> 11).toDouble / (1L << 53).toDouble) * 2 - 1).toFloat
+      }
+    }
+    val rows = (0L until 2000L).map { i =>
+      val v =
+        if (i % 8 == 5) vec(i - 1).zipWithIndex.map { case (x, j) =>
+          x + 1e-3f * ((i + j) % 5) }
+        else vec(i)
+      (i, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def pairSet(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Dedup.embeddingCosinePairs(df, "vec_id", "embedding", 0.99))
+    val lsh = pairSet(Dedup.embeddingCosinePairsLsh(df, "vec_id", "embedding", 0.99))
+    assert(exact.size >= 200, s"fixture must plant a real pair population, got ${exact.size}")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.95, f"LSH recall $recall%.3f < 0.95 (${lsh.size} of ${exact.size} pairs)")
+    assert(lsh.subsetOf(exact), "every LSH pair is exact-verified, so none can be spurious")
+  }
+
   test("adaptive LSH geometry: total candidate volume stays linear, recall design point holds") {
     val p = 1.0 - math.acos(0.85) / math.Pi
     for (n <- Seq(100L, 1000L, 5000L, 20000L, 50000L, 65000L)) {
