@@ -67,31 +67,34 @@ object Linker {
   def candidateEdges(surf: Dataset[SurfaceKey], k: Int = 8, bands: Int = 4,
       shingleN: Int = 2, threshold: Double = 0.6, bucketCap: Int = 1000,
       neighborWindow: Int = 8): DataFrame = {
-    // standalone contract: checkpoint materializes the edges so the cache
+    // standalone contract: checkpoint materializes the edges so the caches
     // can be released before returning the (otherwise lazy) frame
-    val (edges, sized) = candidateEdgesLazy(surf, k, bands, shingleN, threshold,
+    val (edges, release) = candidateEdgesLazy(surf, k, bands, shingleN, threshold,
       bucketCap, neighborWindow)
     val out = edges.localCheckpoint()
-    sized.unpersist()
+    release()
     out
   }
 
   /** [[candidateEdges]] without the final materialization: the caller owns
-    * releasing `sized` AFTER an action has consumed `edges` — the shape
+    * calling `release` AFTER an action has consumed `edges` — the shape
     * [[resolution]] uses so ConnectedComponents' own checkpoint is the ONLY
     * materialization of the edge set (a second caller-side checkpoint would
     * store it twice). */
   private def candidateEdgesLazy(surf: Dataset[SurfaceKey], k: Int = 8,
       bands: Int = 4, shingleN: Int = 2, threshold: Double = 0.6,
-      bucketCap: Int = 1000, neighborWindow: Int = 8): (DataFrame, DataFrame) = {
+      bucketCap: Int = 1000, neighborWindow: Int = 8): (DataFrame, () => Unit) = {
     val spark = surf.sparkSession
     import spark.implicits._
     require(bands >= 1 && k % bands == 0,
       s"minhash lanes k=$k must be a positive multiple of bands=$bands " +
         "(otherwise band keys degenerate or lanes are silently ignored)")
+    // persisted: the size aggregation and the size-attach join below each
+    // read the fan-out, which would otherwise re-shingle + re-minhash every
+    // surface twice (the same fix as the Dedup LSH signature tables)
     val banded = surf.flatMap { sk =>
       bandKeysOf(sk.norm, k, bands, shingleN).map(key => (key, sk.id, sk.norm))
-    }.toDF("bucket", "id", "norm")
+    }.toDF("bucket", "id", "norm").persist()
 
     // bucket sizes via hash-agg + join (no global sort over the skewed key);
     // persisted: the small/big split and the (eager) hot-bucket ranking all
@@ -126,7 +129,7 @@ object Linker {
           Hashing.charShingles(na, shingleN), Hashing.charShingles(nb, shingleN))
         if (j >= threshold) Some((src, dst)) else None
       }.toDF("src", "dst")
-    (edges, sized)
+    (edges, () => { sized.unpersist(); banded.unpersist(): Unit })
   }
 
   /** surface → (canonical id, canonical surface). Canonical surface is the
@@ -135,9 +138,9 @@ object Linker {
     val spark = surf.sparkSession
     // lazy edges: ConnectedComponents canonicalizes + checkpoints them as
     // its first step — the single materialization of the verify plan
-    val (edges, sized) = candidateEdgesLazy(surf)
+    val (edges, release) = candidateEdgesLazy(surf)
     val comp = ConnectedComponents.run(edges)
-    sized.unpersist()
+    release()
     val withComp = surf.toDF()
       .join(comp, surf("id") === comp("id"), "left")
       .select(col("surface"), col("norm"), surf("id").as("id"),

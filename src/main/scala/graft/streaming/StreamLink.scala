@@ -208,15 +208,15 @@ object StreamLink {
     val newSurf = batchSurf
       .join(exSurf.select("surface"), Seq("surface"), "left_anti")
       .localCheckpoint() // two band fan-outs + the assignment reuse it
-    // no checkpoint: a cheap flatMap over the checkpointed newSurf — its
-    // consumers (semi-join, pairing) re-derive it from the materialized
-    // surfaces rather than paying a dedicated job here
+    // persisted (lazily — no dedicated job): the band fan-out is read by
+    // the candidate semi-join and the tagged size-agg + size-attach join,
+    // which would otherwise re-minhash every new surface once per consumer
     val newBands = newSurf
       .select(col("id"), col("norm"))
       .as[(Long, String)]
       .flatMap { case (id, norm) =>
         Linker.bandKeysOf(norm, shingleN = shingleN).map(b => (b, id, norm))
-      }.toDF("bucket", "id", "norm")
+      }.toDF("bucket", "id", "norm").persist()
     val exBands = bandState(spark, stateDir, batchId, pBuckets)
 
     // ---- candidate pairs under the hot-band guard (same discipline as
@@ -367,7 +367,7 @@ object StreamLink {
         col("relation"), col("objectId"), col("objectCanon").as("obj"),
         col("objectType"), col("url"))
       .distinct(), "triples")
-    sized.unpersist()
+    sized.unpersist(); newBands.unpersist()
   }
 
   /** Streaming face: triples stream → per-micro-batch incremental linking. */
