@@ -236,11 +236,13 @@ object Bench {
         // min-of-2 passes; the second is skipped (and recorded) only when
         // the first already blew the budget — growth factors from one
         // contaminated window were the BENCH_r04 lesson. The budget sits
-        // ABOVE the hot-window ceiling of the heaviest 10× ops (~50-65 s
-        // observed for winnow/emb under neighbor load): a budget below it
-        // would drop the second pass exactly when the first was
-        // contaminated, reporting the one number min-of-2 exists to kill.
-        val passBudget = 90.0
+        // ABOVE the hot-window ceiling of the heaviest 10× ops (winnow has
+        // been observed at 28-106 s across windows, emb at 7-52 s under
+        // neighbor load): a budget below the ceiling drops the second pass
+        // exactly when the first was contaminated, reporting the one number
+        // min-of-2 exists to kill. Worst-case cost of the insurance is one
+        // extra hot pass (~2 min), bounded and worth it.
+        val passBudget = 150.0
         final case class M(rows: Long, sec: Double, passes: Int)
         def measure(tag: String): Map[String, M] =
           ops(tag).map { case (name, f) =>
