@@ -23,9 +23,20 @@ object Dedup {
   /** Measured run geometry + volumes of one [[embeddingCosinePairsLsh]]
     * invocation: the scale-bench evidence that candidate volume grows
     * linearly with `n` (`candidates ≲ 16·n` by construction of the adaptive
-    * fixpoint). */
+    * fixpoint). `expectedRecall` is the solved geometry's collision
+    * probability for a pair AT the 0.85-cosine design point
+    * (`1 − (1 − p^bandBits)^bands`) — carried by the harness so a capped
+    * geometry's recall trade is a measured number, not a comment. */
   final case class LshStats(n: Long, bandBits: Int, bands: Int,
-      candidates: Long, verified: Long)
+      candidates: Long, verified: Long, expectedRecall: Double)
+
+  /** Collision probability of a pair at the 0.85-cosine design point under
+    * a (bandBits, bands) sign-bit LSH geometry: `1 − (1 − p^bandBits)^bands`
+    * with per-bit agreement `p = 1 − arccos(0.85)/π ≈ 0.823`. */
+  private[graft] def designRecall(bandBits: Int, bands: Int): Double = {
+    val p = 1.0 - math.acos(0.85) / math.Pi
+    1.0 - math.pow(1.0 - math.pow(p, bandBits), bands)
+  }
 
   /** The adaptive sign-bit LSH geometry for `n` vectors: (bandBits, bands)
     * solved jointly to a fixpoint (see [[embeddingCosinePairsLsh]] for the
@@ -34,21 +45,33 @@ object Dedup {
     * ≥ 90% recall at the 0.85-cosine design point for that width. Pure and
     * package-visible so the invariants are unit-testable. bandBits is
     * monotonically non-decreasing across iterations (the recall-driven band
-    * count is non-decreasing in the width) and capped at 17, so the loop
-    * terminates; the [8,17] × [8,64] clamps saturate together at
-    * n ≈ 2^17·32/64 ≈ 65k vectors, past which occupancy grows again —
-    * documented trade, raise both clamps for larger deployments. */
-  private[graft] def lshGeometry(n: Long): (Int, Int) = {
+    * count is non-decreasing in the width) and capped at `maxBits`, so the
+    * loop terminates.
+    *
+    * The default caps [8, 24] bits × [8, 256] bands are mutually consistent
+    * at the design point (24-bit bands need 243 bands for 90% recall, under
+    * the 256 cap) and saturate together at n ≈ 2^24·32/243 ≈ 2.2M vectors —
+    * two orders of magnitude past the previous [8,17]×[8,64] caps. Past
+    * saturation the candidate budget degrades gracefully (occupancy grows
+    * linearly in n/n_sat) and the solved geometry's design-point recall is
+    * reported via [[designRecall]]/[[LshStats]] so the trade is carried by
+    * the harness; deployments beyond ~2M vectors per partition-group raise
+    * both caps together (each extra bit doubles capacity and costs ×1.22
+    * bands) or shard the corpus and run per-shard. */
+  private[graft] def lshGeometry(n: Long, maxBits: Int = 24,
+      maxBands: Int = 256): (Int, Int) = {
+    require(maxBits >= 8 && maxBits <= 62 && maxBands >= 8,
+      s"caps out of range: maxBits=$maxBits maxBands=$maxBands")
     def ceilLog2(x: Long) =
       if (x <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1)
     val p = 1.0 - math.acos(0.85) / math.Pi
-    def bandsFor(bb: Int): Int = math.min(64, math.max(8,
+    def bandsFor(bb: Int): Int = math.min(maxBands, math.max(8,
       math.ceil(math.log(0.1) / math.log(1.0 - math.pow(p, bb))).toInt))
-    var bb = math.min(17, math.max(8, ceilLog2(math.max(n / 32, 1))))
+    var bb = math.min(maxBits, math.max(8, ceilLog2(math.max(n / 32, 1))))
     var nb = bandsFor(bb)
     var settled = false
     while (!settled) {
-      val next = math.min(17, math.max(8, ceilLog2(math.max(n / 32 * nb, 1))))
+      val next = math.min(maxBits, math.max(8, ceilLog2(math.max(n / 32 * nb, 1))))
       if (next == bb) settled = true
       else { bb = next; nb = bandsFor(bb) }
     }
@@ -229,12 +252,15 @@ object Dedup {
     // its input as its FIRST step, so the verify plan is evaluated exactly
     // once inside it — a caller-side checkpoint would store the edges twice.
     // Unpersist after: CC.run returns only once the edges are materialized.
-    // With a stats hook the verify plan IS checkpointed here (so counting it
-    // doesn't re-run the expensive verify join) and CC reads the checkpoint.
-    val edges = if (onStats.isDefined) verified.localCheckpoint() else verified
+    // With a stats hook the verify plan is PERSISTED (not checkpointed —
+    // that would double block-manager storage against CC's own checkpoint
+    // for the whole CC run, evictable cache doesn't): the count below
+    // materializes the cache once, CC's checkpoint reads it, and the cache
+    // is dropped right after CC returns.
+    val edges = if (onStats.isDefined) verified.persist() else verified
     onStats.foreach { f =>
-      // one aggregation over the persisted banded frame; cand is persisted
-      // and edges checkpointed, so those counts are metadata-cheap
+      // one aggregation over the persisted banded frame; cand and edges are
+      // persisted, so those counts run the verify join exactly once
       val b = sized.agg(
         countDistinct(col("band"), col("bucket")),
         countDistinct(when(col("bucket_n") > bucketCap,
@@ -244,6 +270,7 @@ object Dedup {
         cand.count(), edges.count()))
     }
     val comp = ConnectedComponents.run(edges)
+    if (onStats.isDefined) edges.unpersist()
     sized.unpersist(); cand.unpersist(); sigs.unpersist(); docs.unpersist()
     df.filter(col(idCol).isNotNull)
       .select(col(idCol).cast("long").as("doc_id"))
@@ -323,11 +350,13 @@ object Dedup {
     * for 10× vectors. The signature length bands×bandBits now grows faster —
     * ~n^0.39 bits·log n per vector — but hashing is embarrassingly parallel
     * dense arithmetic; the shuffle + join volume is what had to be linear.)
-    * Clamps [8, 17] bits × [8, 64] bands are mutually consistent at the
-    * design point (64 bands is exactly what 17-bit bands need for 90%
-    * recall); past n ≈ 2^17·32/64 ≈ 65k vectors the geometry saturates and
-    * occupancy grows again — deployments beyond that raise both clamps
-    * together, trading fan-out for recall explicitly rather than silently.
+    * Caps `maxBits` × `maxBands` (default [8, 24] bits × [8, 256] bands,
+    * see [[lshGeometry]]) are mutually consistent at the design point and
+    * saturate together at n ≈ 2.2M vectors; past that the geometry holds at
+    * the caps, occupancy grows again, and the solved geometry's
+    * design-point recall is reported through `onStats` — deployments beyond
+    * raise both caps together, trading fan-out for recall explicitly rather
+    * than silently.
     * Genuine near-dups (cosine ≳ 0.99) collide with probability ≈ 1 at
     * every setting; at thresholds far below the design point candidates are
     * found with decaying probability, the standard trade (use
@@ -341,6 +370,7 @@ object Dedup {
   def embeddingCosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = -1, bands: Int = -1,
       bucketCap: Int = 2000, neighborWindow: Int = 8,
+      maxBits: Int = 24, maxBands: Int = 256,
       onStats: Option[LshStats => Unit] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -364,7 +394,7 @@ object Dedup {
       if (bits > 0) {
         require(bits % bands == 0 && bits / bands <= 63, "bandBits must fit a Long key")
         (bits / bands, bands)
-      } else lshGeometry(n)
+      } else lshGeometry(n, maxBits, maxBands)
     val totalBits = bandBits * nBands
     val sigs = vecs.mapPartitions { it =>
       var planes: Array[Array[Double]] = null // built once per task
@@ -448,7 +478,8 @@ object Dedup {
     // both counts are over materialized frames (cand is persisted and
     // already consumed; verified is checkpointed) — metadata-cheap actions
     onStats.foreach(f =>
-      f(LshStats(n, bandBits, nBands, cand.count(), verified.count())))
+      f(LshStats(n, bandBits, nBands, cand.count(), verified.count(),
+        designRecall(bandBits, nBands))))
     sized.unpersist(); cand.unpersist(); sigs.unpersist(); vecs.unpersist()
     verified.select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
@@ -480,6 +511,13 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("keeper"))
   }
 
+  /** Measured volumes of one [[winnowedOverlapPairs]] invocation — in
+    * particular what the `maxDocFreq` stop-fingerprint guard DROPPED
+    * (`droppedFps` distinct fingerprint values / `droppedRows` (doc, fp)
+    * rows), so the cap's evidence loss is counted, never silent. */
+  final case class WinnowStats(docs: Long, fingerprints: Long,
+      droppedFps: Long, droppedRows: Long, pairs: Long)
+
   /** Partial-overlap pairs via winnowed fingerprints
     * ([[TextStats.winnowFingerprints]]): docs sharing ≥ `minShared` selected
     * k-gram hashes — catches a document that embeds a copied PASSAGE of
@@ -491,10 +529,11 @@ object Dedup {
     * count. Fingerprints appearing in more than `maxDocFreq` docs are
     * dropped before the join (boilerplate k-grams carry no overlap signal
     * and are exactly the hot keys that would blow up the join — the
-    * stop-shingle discipline). */
+    * stop-shingle discipline); `onStats` reports how much the cap dropped. */
   def winnowedOverlapPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, w: Int = 8, minShared: Int = 2,
-      maxDocFreq: Int = 1000): DataFrame = {
+      maxDocFreq: Int = 1000,
+      onStats: Option[WinnowStats => Unit] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // persisted: the frequency filter and both self-join sides reuse one
@@ -505,8 +544,8 @@ object Dedup {
       .flatMap { case (id, t) =>
         TextStats.winnowFingerprints(t, k, w).iterator.map(fp => (id, fp))
       }.toDF("doc_id", "fp").persist()
-    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df_"))
-      .filter(col("df_") <= maxDocFreq).select("fp")
+    val freq = fps.groupBy("fp").agg(count(lit(1)).as("df_"))
+    val rare = freq.filter(col("df_") <= maxDocFreq).select("fp")
     val kept = fps.join(rare, Seq("fp"), "left_semi")
     val out = kept.as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
@@ -514,20 +553,48 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .localCheckpoint()
+    onStats.foreach { f =>
+      // two aggregations over the persisted fingerprint frame + a count of
+      // the checkpointed output — stats never re-run the winnowing pass
+      val a = freq.agg(count(lit(1)),
+        count(when(col("df_") > maxDocFreq, lit(1))),
+        coalesce(sum(when(col("df_") > maxDocFreq, col("df_"))), lit(0L))).head()
+      f(WinnowStats(fps.select("doc_id").distinct().count(), a.getLong(0),
+        a.getLong(1), a.getLong(2), out.count()))
+    }
     fps.unpersist()
     out
   }
 
+  /** Measured volumes of one [[simhashPairs]] invocation — the hot-bucket
+    * cap engagement counters (`hotBuckets`/`hotRows`) plus raw candidate
+    * volume (banded-join output rows before the Hamming gate), so the
+    * capped-bucket recall trade is measured, not silent. */
+  final case class SimhashStats(docs: Long, buckets: Long, hotBuckets: Long,
+      hotRows: Long, candidates: Long, pairs: Long)
+
   /** SimHash near-dup candidates: 64-bit simhash, blocked on `maxHamming+1`
     * bands — by pigeonhole, any pair at Hamming distance ≤ maxHamming shares
-    * at least one whole band, so recall at the requested radius is GUARANTEED
-    * (not probabilistic). Returns verified pairs with their Hamming distance.
+    * at least one whole band. Returns verified pairs with their Hamming
+    * distance.
     *
-    * Cost note: band width is ⌊64/(maxHamming+1)⌋, so candidate volume grows
-    * as corpus²/2^width per band — keep maxHamming modest (≤ ~15) at corpus
-    * scale, or accept the wider candidate set as the price of full recall. */
+    * Hot-bucket guard (same discipline as [[minhashLsh]] /
+    * [[embeddingCosinePairsLsh]]): band width is ⌊64/(maxHamming+1)⌋, so an
+    * unguarded banded self-join is structurally n²/2^width candidates per
+    * band — ONE boilerplate band value shared by d docs emits d²/2 join
+    * rows. Band buckets above `bucketCap` switch to bounded
+    * sorted-neighborhood pairing ([[Neighborhood]]) over the signature's
+    * 64-char binary string (Hamming-local on high bits: docs within the
+    * radius differ in few bits and sort adjacently), at O(rows·window)
+    * pairs. Recall trade: the pigeonhole guarantee holds UNCAPPED buckets
+    * only — inside a capped bucket, pairs farther than `neighborWindow`
+    * positions apart in signature order are missed (every emitted pair is
+    * still Hamming-verified, so precision is unaffected). `onStats` carries
+    * the hot-bucket counters so the engagement — and therefore where the
+    * guarantee was traded — is measured per run. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, bucketCap: Int = 1000, neighborWindow: Int = 8,
+      onStats: Option[SimhashStats => Unit] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
     val spark = df.sparkSession
     import spark.implicits._
@@ -558,18 +625,51 @@ object Dedup {
     }
     val banded = sigs.select(col("doc_id"), col("sim"), posexplode(array(keyCols: _*)))
       .toDF("doc_id", "sim", "band", "key")
-    // hamming gate BEFORE the dedup shuffle: bit_count is codegen'd per
-    // joined row, so the distinct() exchange carries only qualifying pairs
-    // (candidate volume -> result volume), not every banded collision
-    val out = banded.as("a").join(banded.as("b"),
+    val sizes = banded.groupBy("band", "key").agg(count(lit(1)).as("bucket_n"))
+    val sized = banded.join(sizes, Seq("band", "key")).persist()
+    val small = sized.filter(col("bucket_n") <= bucketCap)
+    val big = sized.filter(col("bucket_n") > bucketCap)
+    // the small (normal) path carries both signatures through the join, so
+    // the Hamming distance is a codegen'd bit_count on the joined row —
+    // no join-back, and the gate runs BEFORE the distinct() shuffle
+    val smallCand = small.as("a").join(small.as("b"),
         col("a.key") === col("b.key") && col("a.band") === col("b.band") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    // hot buckets: sorted-neighborhood over the full signature as a binary
+    // string (bin() of a negative long is its 64-bit two's-complement form,
+    // so lexicographic order IS unsigned-integer order); the signatures are
+    // joined back from the persisted sigs for this (usually empty) subset
+    val bigCand =
+      if (big.isEmpty) smallCand.limit(0)
+      else Neighborhood.sortedNeighborhoodPairs(
+          big.select(xxhash64(col("band"), col("key")).as("bucket"),
+            col("doc_id").as("id"), lpad(bin(col("sim")), 64, "0").as("sort")),
+          neighborWindow)
+        .select(col("src").as("id_a"), col("dst").as("id_b"))
+        .join(sigs.select(col("doc_id").as("id_a"), col("sim").as("sim_a")), "id_a")
+        .join(sigs.select(col("doc_id").as("id_b"), col("sim").as("sim_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+    val cand = smallCand.unionByName(bigCand)
+    // with a stats hook the candidate frame is persisted so the raw-volume
+    // count doesn't re-run the banded join the output pass reads
+    val candM = if (onStats.isDefined) cand.persist() else cand
+    val out = candM.filter(col("hamming") <= maxHamming)
       .distinct()
-      .localCheckpoint() // eager: lets the sigs cache release deterministically
-    sigs.unpersist()
+      .localCheckpoint() // eager: lets the caches release deterministically
+    onStats.foreach { f =>
+      val b = sized.agg(
+        countDistinct(col("band"), col("key")),
+        countDistinct(when(col("bucket_n") > bucketCap,
+          struct(col("band"), col("key")))),
+        count(when(col("bucket_n") > bucketCap, lit(1)))).head()
+      f(SimhashStats(sigs.count(), b.getLong(0), b.getLong(1), b.getLong(2),
+        candM.count(), out.count()))
+    }
+    if (onStats.isDefined) candM.unpersist()
+    sized.unpersist(); sigs.unpersist()
     out
   }
 }

@@ -285,26 +285,89 @@ class DedupSpec extends SparkSpec {
   }
 
   test("adaptive LSH geometry: total candidate volume stays linear, recall design point holds") {
-    val p = 1.0 - math.acos(0.85) / math.Pi
-    for (n <- Seq(100L, 1000L, 5000L, 20000L, 50000L, 65000L)) {
+    for (n <- Seq(100L, 1000L, 5000L, 20000L, 50000L, 65000L, 200000L,
+        500000L, 1000000L, 2000000L)) {
       val (bb, nb) = Dedup.lshGeometry(n)
-      assert(bb >= 8 && bb <= 17 && nb >= 8 && nb <= 64, s"n=$n clamps violated: ($bb,$nb)")
+      assert(bb >= 8 && bb <= 24 && nb >= 8 && nb <= 256,
+        s"n=$n caps violated: ($bb,$nb)")
       // the fixpoint invariant: expected TOTAL candidate pairs
       // nb*n^2/2^(bb+1) <= 16n, i.e. n*nb <= 32*2^bb — this is exactly what
       // failed before (band count grew n^0.28 on top of linear per-band
-      // volume), so pin it over the whole pre-saturation range
+      // volume), so pin it over the whole pre-saturation range: with the
+      // widened [8,24]×[8,256] caps that range now extends to ~2.2M vectors
+      // (the old 17-bit/64-band caps saturated at 65k)
       assert(n * nb <= 32L * (1L << bb),
         s"n=$n: candidate budget broken — nb=$nb bb=$bb (n*nb=${n * nb} > ${32L * (1L << bb)})")
       // >= 90% recall at the 0.85-cosine design point
-      val recall = 1.0 - math.pow(1.0 - math.pow(p, bb), nb)
+      val recall = Dedup.designRecall(bb, nb)
       assert(recall >= 0.9, s"n=$n: design-point recall $recall < 0.9 at ($bb,$nb)")
     }
     // pinned values at the bench's scale points (change = geometry change,
-    // which must be a deliberate, re-measured decision)
+    // which must be a deliberate, re-measured decision); the 5k/50k points
+    // are unchanged from the 17-bit caps — the widened caps bind nowhere
+    // below the old saturation point
     assert(Dedup.lshGeometry(5000L) === ((12, 23)))
     assert(Dedup.lshGeometry(50000L) === ((17, 62)))
-    // saturation: past ~65k vectors the clamps hold and occupancy grows
-    assert(Dedup.lshGeometry(1000000L) === ((17, 62)))
+    // formerly-saturated region, now solved un-clamped
+    assert(Dedup.lshGeometry(200000L) === ((20, 112)))
+    assert(Dedup.lshGeometry(500000L) === ((22, 165)))
+    assert(Dedup.lshGeometry(1000000L) === ((23, 200)))
+    // saturation with the default caps: bits pin at 24, whose recall-driven
+    // band count (244) sits UNDER the 256-band cap — so past ~2.2M vectors
+    // the candidate BUDGET degrades (occupancy grows with n/n_sat) while the
+    // design-point recall stays >= 0.9; only raising maxBits re-tightens
+    // the budget
+    assert(Dedup.lshGeometry(100000000L) === ((24, 243)))
+    assert(Dedup.designRecall(24, 243) >= 0.9)
+    // explicit caps remain the escape hatch and reproduce the r4 geometry
+    assert(Dedup.lshGeometry(1000000L, maxBits = 17, maxBands = 64) === ((17, 62)))
+  }
+
+  test("simhash hot bucket (planted boilerplate band) is capped, pairs bounded, recall traded visibly") {
+    import spark.implicits._
+    // 300 IDENTICAL docs: one simhash value, so every band bucket holds all
+    // 300 — far above bucketCap=50; unguarded this is 300·299/2 join rows
+    // per band. Plus one small-edit pair and a distinct doc, whose pairs
+    // must be identical with and without the cap engaged.
+    val boiler = "identical boilerplate navigation footer text repeated " * 3
+    val base = "spark catalyst tungsten codegen shuffle partition broadcast join " * 3
+    val rows = (0 until 300).map(i => (i.toLong, boiler)) ++ Seq(
+      (1000L, base), (1001L, base.replace("broadcast", "brodcast")),
+      (2000L, "unrelated words entirely different topic matter here now " * 3))
+    val df = rows.toDF("doc_id", "text")
+    var stats: Option[Dedup.SimhashStats] = None
+    val capped = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 10,
+      bucketCap = 50, neighborWindow = 8, onStats = Some(s => stats = Some(s)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val st = stats.get
+    // all 11 band buckets of the boilerplate signature are hot (maxHamming
+    // 10 → 11 bands), each with 300 rows
+    assert(st.hotBuckets === 11L, st.toString)
+    // >= : a non-boiler doc can collide into a hot 5-bit band by chance
+    // (~1 expected over 3 docs × 11 bands); the boiler rows are all there
+    assert(st.hotRows >= 300L * 11 && st.hotRows <= 300L * 11 + 33, st.toString)
+    // bounded candidates: O(rows·window) per band, never the ~45k·11
+    // all-pairs volume
+    assert(st.candidates < 300L * 8 * 11 * 2,
+      s"candidates ${st.candidates} not bounded by the cap")
+    // the sorted-neighborhood chain still covers the whole hot group: with
+    // identical sort keys the order is by id, so every adjacent pair is
+    // emitted — all 300 docs appear, transitively connected, hamming 0
+    val hotIds = capped.collect { case (a, b, 0) if a < 300 && b < 300 => Seq(a, b) }.flatten
+    assert(hotIds.toSet.size === 300, "every hot-group doc must appear in a pair")
+    assert((0L until 299L).forall(i => capped.contains((i, i + 1, 0))),
+      "adjacent chain must be complete (transitive closure intact)")
+    // non-hot pairs are untouched by the cap: the small-edit pair survives
+    // with the same hamming as an uncapped run
+    val uncapped = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val smallEdit = uncapped.filter(p => p._1 == 1000L && p._2 == 1001L)
+    assert(smallEdit.size === 1)
+    assert(capped.filter(p => p._1 == 1000L && p._2 == 1001L) === smallEdit)
+    assert(!capped.exists(p => p._1 == 2000L || p._2 == 2000L))
+    // the cap must genuinely reduce volume vs the unguarded join
+    assert(capped.size < uncapped.size / 5,
+      s"capped=${capped.size} uncapped=${uncapped.size}")
   }
 
   test("hashing primitives are deterministic across calls") {
