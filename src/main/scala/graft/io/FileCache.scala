@@ -118,6 +118,14 @@ object FileCache {
               val in = conn.getInputStream
               try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING): Unit
               finally in.close()
+              // a server-side early close surfaces as a plain EOF, not an
+              // exception — without this check a TRUNCATED body would be
+              // atomically renamed into the cache and served forever under
+              // this ETag (entries are never re-validated). Throwing makes
+              // materialize abandon the tmp file so the next call re-fetches.
+              if (len >= 0 && Files.size(tmp) != len)
+                throw new java.io.IOException(
+                  s"GET $target: body truncated (${Files.size(tmp)} of $len bytes)")
             }
           }
         } finally conn.disconnect()

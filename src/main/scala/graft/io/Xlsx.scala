@@ -18,15 +18,42 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
   * parity. */
 object Xlsx {
 
-  private def esc(s: String): String = s
-    .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-    .replace("\"", "&quot;")
+  /** Entity-escape markup characters and STRIP XML-invalid code points
+    * (C0 controls other than tab/LF/CR, and the lone-surrogate range) — a
+    * single such byte in a cell value would make the whole sheet part
+    * unparseable to every reader. Stripping (not erroring) matches what
+    * spreadsheet writers conventionally do with binary junk in text cells. */
+  private def esc(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\t' || c == '\n' || c == '\r') sb.append(c)
+      else if (c < 0x20 || c == 0xFFFE.toChar || c == 0xFFFF.toChar) () // strip
+      else if (Character.isHighSurrogate(c)) {
+        // keep only PAIRED surrogates (a lone one is invalid XML)
+        if (i + 1 < s.length && Character.isLowSurrogate(s.charAt(i + 1))) {
+          sb.append(c).append(s.charAt(i + 1)); i += 1
+        }
+      } else if (!Character.isLowSurrogate(c)) sb.append(c)
+      i += 1
+    }
+    sb.toString
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+  }
 
   /** Write `header` + `rows` as one worksheet at `path`. */
   def write(path: String, header: Seq[String], rows: Seq[Seq[String]],
       sheetName: String = "Sheet1"): Unit = {
     require(rows.forall(_.length == header.length),
       "every row must have one cell per header column")
+    // Excel's sheet-name rules: 1-31 chars, none of []:*?/\ — a violating
+    // name writes a file Excel refuses to open, so fail at the call site
+    require(sheetName.nonEmpty && sheetName.length <= 31,
+      s"sheet name must be 1-31 chars: '$sheetName'")
+    require(!sheetName.exists("[]:*?/\\".contains(_)),
+      s"sheet name must not contain []:*?/\\ : '$sheetName'")
     def row(cells: Seq[String]): String =
       cells.map(c => s"""<c t="inlineStr"><is><t>${esc(c)}</t></is></c>""")
         .mkString("<row>", "", "</row>")

@@ -410,14 +410,23 @@ object StreamLink {
   def readBridges(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(s"$stateDir/bridges").select("kept_id", "bridged_id").distinct()
 
-  /** Write a FULL canonical state as `batch=0` of a fresh `outDir` — the
+  /** Write a FULL canonical state as `batch=-1` of a fresh `outDir` — the
     * sink [[graft.link.Compaction]] targets. The layout (bucket partition
     * columns, `_meta.json` pinning) is identical to what [[processBatch]]
-    * writes, so a stream resumed against `outDir` (its checkpoint hands out
-    * batch ids ≥ 1) links incrementally against the compacted state with no
-    * special casing. `surfacesDf`: (surface, norm, id, canonical_id,
-    * canonical_surface); `triplesDf`: url-grain provenance rows. The bridge
-    * ledger is written EMPTY — compaction consumed it. */
+    * writes, so a stream resumed against `outDir` links incrementally
+    * against the compacted state with no special casing.
+    *
+    * The RESERVED batch id −1 is what makes that unconditional: every
+    * `processBatch(batchId ≥ 0)` read includes `batch < batchId` state, so
+    * even a FRESH stream checkpoint (whose first delivery is batchId 0)
+    * sees the snapshot — and its `batch=0` overwrite can never clobber it.
+    * Writing the snapshot as batch=0 would make batchId-0 runs read zero
+    * state AND destroy the snapshot partition with their own overwrite:
+    * silent re-publication plus state loss.
+    *
+    * `surfacesDf`: (surface, norm, id, canonical_id, canonical_surface);
+    * `triplesDf`: url-grain provenance rows. The bridge ledger is written
+    * EMPTY — compaction consumed it. */
   private[graft] def writeStateSnapshot(spark: SparkSession, outDir: String,
       surfacesDf: DataFrame, triplesDf: DataFrame, meta: StateMeta): Unit = {
     import spark.implicits._
@@ -431,7 +440,7 @@ object StreamLink {
     surf.withColumn("sbucket", bucketOf(col("surface"), nB))
       .repartition(col("sbucket"))
       .write.mode("overwrite").partitionBy("sbucket")
-      .parquet(s"$outDir/surfaces/batch=0")
+      .parquet(s"$outDir/surfaces/batch=-1")
     surf.select("id", "norm", "canonical_id", "canonical_surface")
       .as[(Long, String, Long, String)]
       .flatMap { case (id, norm, cid, rep) =>
@@ -440,16 +449,16 @@ object StreamLink {
       .withColumn("pbucket", bucketOf(col("bucket"), nB))
       .repartition(col("pbucket"))
       .write.mode("overwrite").partitionBy("pbucket")
-      .parquet(s"$outDir/bands/batch=0")
+      .parquet(s"$outDir/bands/batch=-1")
     spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("kept_id", LongType),
           StructField("bridged_id", LongType))))
-      .write.mode("overwrite").parquet(s"$outDir/bridges/batch=0")
+      .write.mode("overwrite").parquet(s"$outDir/bridges/batch=-1")
     triplesDf
       .select("subjectId", "subject", "subjectType", "relation",
         "objectId", "obj", "objectType", "url")
       .distinct()
-      .write.mode("overwrite").parquet(s"$outDir/triples/batch=0")
+      .write.mode("overwrite").parquet(s"$outDir/triples/batch=-1")
   }
 }

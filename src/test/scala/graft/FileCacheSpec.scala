@@ -168,6 +168,34 @@ class FileCacheSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("a truncated http body (server early close) is never cached; the retry succeeds") {
+    val (_, cache) = freshDirs()
+    val payload = Array.tabulate[Byte](4096)(i => (i * 7).toByte)
+    @volatile var truncate = true
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/cut.bin", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.getResponseHeaders.set("ETag", "\"cut1\"")
+      // declares the FULL length, then closes early on the first attempt —
+      // the client may see either a stream error or a plain short EOF; the
+      // byte-count check must refuse to cache the torn body in both cases
+      ex.sendResponseHeaders(200, payload.length)
+      val n = if (truncate) 100 else payload.length
+      try ex.getResponseBody.write(payload, 0, n) finally ex.close()
+    })
+    server.start()
+    try {
+      val uri = s"http://127.0.0.1:${server.getAddress.getPort}/cut.bin"
+      intercept[java.io.IOException] { FileCache.cachedPath(uri, cache) }
+      val leaked = Files.list(Paths.get(cache)).iterator()
+      assert(!leaked.hasNext, "a torn fetch must leave no cache entry, sidecar, or tmp")
+      // the failed fetch is not memoized; the healthy retry caches intact bytes
+      truncate = false
+      val p = FileCache.cachedPath(uri, cache)
+      assert(Files.readAllBytes(Paths.get(p)).toSeq === payload.toSeq)
+    } finally server.stop(0)
+  }
+
   test("stale crash debris (orphan tmp + entry-less sidecar) is swept on re-fetch") {
     val (src, cache) = freshDirs()
     Files.write(Paths.get(s"$src/m.bin"), "payload".getBytes)

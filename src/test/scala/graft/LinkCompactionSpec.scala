@@ -96,16 +96,26 @@ class LinkCompactionSpec extends SparkSpec {
         s"migrated id $nw/$surf must be a canonical id the batch run publishes")
     }
 
-    // (4) compaction consumed the ledger and the stream continues: a later
-    // batch against the compacted state attaches to compacted ids
+    // (4) compaction consumed the ledger and the stream continues — with a
+    // FRESH checkpoint, whose first delivery is batchId 0: the snapshot
+    // lives under the reserved batch=-1, so even batch 0 reads it, and
+    // batch 0's own batch=0 overwrite cannot clobber it (writing the
+    // snapshot as batch=0 would make this exact run read zero state and
+    // destroy the snapshot partition — silent re-publication + state loss)
     assert(StreamLink.readBridges(spark, out).count() === 0)
     StreamLink.processBatch(Seq(t(x, "brand new object qqq", "bx4")).toDF(),
-      out, batchId = 1)
+      out, batchId = 0)
     val res2 = StreamLink.readResolution(spark, out).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(res2(x) === want(x)._1, "an existing surface keeps its compacted id")
     val dup = StreamLink.readResolution(spark, out)
       .groupBy("surface").count().filter(col("count") > 1).count()
     assert(dup === 0, "continuing the stream must not re-publish surfaces")
+    // and a later batch on the SAME checkpoint lineage still composes
+    StreamLink.processBatch(Seq(t(x, "yet another object zzz", "bx5")).toDF(),
+      out, batchId = 1)
+    val res3 = StreamLink.readResolution(spark, out).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(res3(x) === want(x)._1)
   }
 }

@@ -40,6 +40,22 @@ class XlsxSpec extends SparkSpec {
     }
   }
 
+  test("XML-invalid control chars are stripped (sheet stays parseable); bad sheet names are refused") {
+    val path = Files.createTempDirectory("graft-xlsx").resolve("c.xlsx").toString
+    // NUL/backspace/lone-surrogate junk in a cell must not poison the part;
+    // tab and newline are XML-legal and survive
+    Xlsx.write(path, Seq("h"), Seq(
+      Seq("a\u0000b\u0008c"), Seq("tab\there"), Seq("lone\ud800surrogate")))
+    assert(sheetRows(path) === Seq(Seq("h"),
+      Seq("abc"), Seq("tab\there"), Seq("lonesurrogate")))
+    intercept[IllegalArgumentException] {
+      Xlsx.write(path, Seq("h"), Seq(Seq("x")), sheetName = "way/too:bad")
+    }
+    intercept[IllegalArgumentException] {
+      Xlsx.write(path, Seq("h"), Seq(Seq("x")), sheetName = "x" * 32)
+    }
+  }
+
   test("writePerformanceXlsx emits the reference's columns (typo included) from the metrics table") {
     import spark.implicits._
     val perType = Seq(
