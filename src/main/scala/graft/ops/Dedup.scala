@@ -653,22 +653,29 @@ object Dedup {
         .select(col("id_a"), col("id_b"),
           bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
     val cand = smallCand.unionByName(bigCand)
-    // with a stats hook the candidate frame is persisted so the raw-volume
-    // count doesn't re-run the banded join the output pass reads
-    val candM = if (onStats.isDefined) cand.persist() else cand
-    val out = candM.filter(col("hamming") <= maxHamming)
+    val out = cand.filter(col("hamming") <= maxHamming)
       .distinct()
       .localCheckpoint() // eager: lets the caches release deterministically
     onStats.foreach { f =>
-      val b = sized.agg(
-        countDistinct(col("band"), col("key")),
-        countDistinct(when(col("bucket_n") > bucketCap,
-          struct(col("band"), col("key")))),
-        count(when(col("bucket_n") > bucketCap, lit(1)))).head()
+      // candidate volume is ANALYTIC in the bucket sizes (exact — ids are
+      // unique within a (band, key) bucket): the all-pairs path emits
+      // C(n,2) per bucket, sorted-neighborhood Σ_{j=1..W} (n−j) = W·n −
+      // W(W+1)/2 for n > cap > W. One tiny aggregation over the per-bucket
+      // counts instead of persisting + counting the candidate frame itself,
+      // so the stats hook costs the timed run almost nothing.
+      val w = neighborWindow.toLong
+      val b = sizes.agg(
+        count(lit(1)),
+        count(when(col("bucket_n") > bucketCap, lit(1))),
+        coalesce(sum(when(col("bucket_n") > bucketCap, col("bucket_n"))),
+          lit(0L)),
+        coalesce(sum(when(col("bucket_n") > bucketCap && col("bucket_n") > w,
+            lit(w) * col("bucket_n") - lit(w * (w + 1) / 2))
+          .otherwise(floor(col("bucket_n") * (col("bucket_n") - 1) / 2))),
+          lit(0L))).head()
       f(SimhashStats(sigs.count(), b.getLong(0), b.getLong(1), b.getLong(2),
-        candM.count(), out.count()))
+        b.getLong(3), out.count()))
     }
-    if (onStats.isDefined) candM.unpersist()
     sized.unpersist(); sigs.unpersist()
     out
   }

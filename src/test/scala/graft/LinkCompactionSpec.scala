@@ -118,4 +118,89 @@ class LinkCompactionSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(res3(x) === want(x)._1)
   }
+
+  test("scale-shaped pin: snapshot keeps one file per bucket and continuation reads stay bucket-pruned") {
+    import graft.synth.LinkCorpus
+
+    // the generator's exact-shingle contract (class doc): v0 verifies
+    // against v1 AND v2, v1/v2 do not verify against each other, objects
+    // share zero shingles with their base
+    val f = 7L
+    assert(jac(LinkCorpus.surface(f, 0), LinkCorpus.surface(f, 1)) >= 0.6)
+    assert(jac(LinkCorpus.surface(f, 0), LinkCorpus.surface(f, 2)) >= 0.6)
+    assert(jac(LinkCorpus.surface(f, 1), LinkCorpus.surface(f, 2)) < 0.6)
+    assert(jac(LinkCorpus.surface(f, 0), LinkCorpus.objSurface(f)) === 0.0)
+
+    // the same drop order the bench uses at 30k+ families, here at a
+    // CI-sized 4k (16k surfaces): v1, v2 publish two components per family,
+    // the late v0 bridges them
+    val F = 4000L
+    val root = Files.createTempDirectory("graft-compact-scale").toString
+    val state = s"$root/state"; val out = s"$root/compacted"
+    for ((v, bid) <- Seq((1, 0L), (2, 1L), (0, 2L)))
+      StreamLink.processBatch(
+        LinkCorpus.triples(spark, 0, F, v), state, batchId = bid)
+    assert(StreamLink.readSurfaces(spark, state).count() === 4 * F,
+      "3 subject variants + 1 object per family, all distinct")
+    val bridges = StreamLink.readBridges(spark, state).count()
+    assert(bridges >= (0.8 * F).toLong,
+      s"bridge density collapsed: $bridges bridges for $F families")
+
+    Compaction.compact(spark, state, out).count()
+
+    // snapshot write discipline: ONE parquet file per (batch=-1, pbucket) —
+    // the property that makes post-compaction pruned reads open exactly as
+    // many files as buckets touched, at ANY state size
+    def parquetFiles(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val s = Files.walk(dir)
+      try {
+        val b = Seq.newBuilder[java.nio.file.Path]
+        s.iterator().forEachRemaining(p =>
+          if (p.getFileName.toString.endsWith(".parquet")) b += p)
+        b.result()
+      } finally s.close()
+    }
+    val bandsRoot = java.nio.file.Paths.get(out, "bands")
+    val totalBandFiles = parquetFiles(bandsRoot).size
+    val bucketDirs = {
+      val s = Files.list(bandsRoot.resolve("batch=-1"))
+      try s.filter(p => p.getFileName.toString.startsWith("pbucket=")).count().toInt
+      finally s.close()
+    }
+    assert(totalBandFiles === bucketDirs,
+      s"snapshot must keep one band file per bucket: $totalBandFiles files, $bucketDirs buckets")
+
+    // a pruned read against the snapshot opens exactly the touched buckets'
+    // files (asserted through the executed scan's own numFiles metric)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val resolved = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scans = resolved.collectLeaves().collect { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty, resolved.toString.take(1500))
+      scans.map(_.metrics("numFiles").value).sum
+    }
+    val touched = Seq(3L, 17L)
+    val expected = touched.map(b =>
+      parquetFiles(bandsRoot.resolve("batch=-1").resolve(s"pbucket=$b")).size).sum
+    assert(expected === touched.size, "fixture must fill the touched buckets")
+    val read = scannedFiles(StreamLink.bandState(spark, out, batchId = 0, touched))
+    assert(read === expected.toLong && read < totalBandFiles,
+      s"pruned band read opened $read files (expected $expected of $totalBandFiles)")
+
+    // continuation with a FRESH checkpoint (batchId 0) against the
+    // snapshot: new families publish, no surface is re-published
+    StreamLink.processBatch(
+      LinkCorpus.triples(spark, F, F + 50, 0), out, batchId = 0)
+    val res = StreamLink.readResolution(spark, out)
+    assert(res.groupBy("surface").count()
+      .filter(col("count") > 1).count() === 0,
+      "continuing the stream must not re-publish surfaces")
+    assert(res.count() === 4 * F + 2 * 50,
+      "50 fresh families add one v0 subject + one object surface each")
+  }
 }
