@@ -276,8 +276,14 @@ object Bench {
               TextStats.tfidfTopK(Dedup.exactKeepers(sampled, "doc_id", "text"),
                 "doc_id", "text", k = 3).count()
             },
+            // pairBudgetPerDoc engages the budget-solved df cap — at 1M docs
+            // a FIXED cap of 1000 let mid-frequency fingerprints (df grows
+            // linearly with corpus size) flood the self-join with >60 GB of
+            // shuffle; the solved cap bounds join output at ≤ 64·docs pairs
+            // by construction, and the counters carry the cap + what it drops
             "winnow_overlap_pairs" -> (() => Dedup.winnowedOverlapPairs(docs,
               "doc_id", "text", k = 16, w = 8, minShared = 3,
+              pairBudgetPerDoc = 64,
               onStats = Some(st => wnStats(tag) = st)).count()),
             "emb_near_dup_lsh" -> (() => Dedup.embeddingNearDup(emb, "vec_id",
               "embedding", threshold = 0.45, localThreshold = 0L,
@@ -319,7 +325,7 @@ object Bench {
           f"""{"docs":${s.docs},"buckets":${s.buckets},"hot_buckets":${s.hotBuckets},""" +
             f""""hot_rows":${s.hotRows},"candidates":${s.candidates},"pairs":${s.pairs}}"""
         def wnJson(s: Dedup.WinnowStats) =
-          f"""{"docs":${s.docs},"fingerprints":${s.fingerprints},""" +
+          f"""{"docs":${s.docs},"fingerprints":${s.fingerprints},"cap":${s.cap},""" +
             f""""dropped_fps":${s.droppedFps},"dropped_rows":${s.droppedRows},"pairs":${s.pairs}}"""
         def lshJson(s: Dedup.LshStats) =
           f"""{"n":${s.n},"band_bits":${s.bandBits},"bands":${s.bands},""" +

@@ -344,7 +344,14 @@ object Dedup {
     * agreement p = 1 − arccos(0.85)/π ≈ 0.823). The fixpoint converges in a
     * few steps — each extra bit doubles capacity while the band count grows
     * only ×(1/p) ≈ 1.22 — and guarantees `bands·n/2^bandBits ≤ 32`, i.e.
-    * ≤ 16·n expected candidates TOTAL. (The previous scheme sized bandBits
+    * ≤ 16·n expected candidates TOTAL under the independent-random-pair
+    * model. Measured volume runs a small constant factor above that model:
+    * at finite dimension the pairwise cosine is dispersed around 0 (±1/√dim)
+    * and E[p^bits] > (E[p])^bits (Jensen), so band collisions among
+    * NON-near-dup pairs exceed the 0.5^bits baseline — measured 27.9
+    * candidates/vector at 50k and 55.7 at 500k vectors (dim 64) against the
+    * model's ≤ 16; still linear-with-slowly-growing-constant in n, and
+    * carried per run by the `onStats` counters rather than assumed. (The previous scheme sized bandBits
     * against per-band occupancy only; the recall formula then grew the band
     * count ~n^0.28, making total candidates Θ(n^1.28) — measured 14.5× time
     * for 10× vectors. The signature length bands×bandBits now grows faster —
@@ -511,12 +518,37 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("keeper"))
   }
 
-  /** Measured volumes of one [[winnowedOverlapPairs]] invocation — in
-    * particular what the `maxDocFreq` stop-fingerprint guard DROPPED
-    * (`droppedFps` distinct fingerprint values / `droppedRows` (doc, fp)
-    * rows), so the cap's evidence loss is counted, never silent. */
-  final case class WinnowStats(docs: Long, fingerprints: Long,
+  /** Measured volumes of one [[winnowedOverlapPairs]] invocation — the
+    * EFFECTIVE document-frequency cap (`cap`: `maxDocFreq`, or the
+    * budget-solved value when `pairBudgetPerDoc` > 0) and what that cap
+    * DROPPED (`droppedFps` distinct fingerprint values / `droppedRows`
+    * (doc, fp) rows), so the cap's evidence loss is counted, never silent. */
+  final case class WinnowStats(docs: Long, fingerprints: Long, cap: Long,
       droppedFps: Long, droppedRows: Long, pairs: Long)
+
+  /** Largest document-frequency cap ≤ `maxDocFreq` whose ANALYTIC join-pair
+    * volume Σ_{df ≤ cap} nfp(df)·C(df, 2) stays within `pairBudget` — the
+    * winnowing analogue of [[lshGeometry]]: the stop-fingerprint threshold
+    * is solved from the MEASURED df distribution against an explicit pair
+    * budget instead of guessed per corpus. (A fixed cap cannot be
+    * size-stable: a given k-gram's document frequency grows linearly with
+    * corpus size, so mid-frequency fingerprints slide under any fixed cap in
+    * ever-greater numbers — measured as a disk-filling join at 1M docs with
+    * cap 1000.) Never solves below 2: df-2 fingerprints are the minimum
+    * overlap evidence, and a corpus whose df-2 tier alone exceeds the budget
+    * keeps it — the overrun is visible through the stats hook's analytic
+    * counters rather than silently returning nothing. `hist` is the
+    * (df value → fingerprint count) histogram in any order. */
+  private[graft] def solveDocFreqCap(hist: Array[(Long, Long)],
+      pairBudget: Double, maxDocFreq: Int): Long = {
+    var cum = 0.0 // Double: Σ nfp·C(df,2) can exceed Long on adversarial input
+    var best = 2L
+    for ((v, n) <- hist.sortBy(_._1) if v <= maxDocFreq) {
+      cum += n.toDouble * v * (v - 1) / 2
+      if (v >= 2 && cum <= pairBudget) best = math.max(best, v)
+    }
+    math.min(best, maxDocFreq.toLong)
+  }
 
   /** Partial-overlap pairs via winnowed fingerprints
     * ([[TextStats.winnowFingerprints]]): docs sharing ≥ `minShared` selected
@@ -526,13 +558,23 @@ object Dedup {
     *
     * Scale shape: explode to (doc, fp) — density ≈ 2/(w+1) of chars, far
     * sparser than shingle joins — then one self-equi-join on fp + a pair
-    * count. Fingerprints appearing in more than `maxDocFreq` docs are
+    * count. Fingerprints appearing in more than the effective cap are
     * dropped before the join (boilerplate k-grams carry no overlap signal
     * and are exactly the hot keys that would blow up the join — the
-    * stop-shingle discipline); `onStats` reports how much the cap dropped. */
+    * stop-shingle discipline); `onStats` reports how much the cap dropped.
+    *
+    * The effective cap is `maxDocFreq`, or — when `pairBudgetPerDoc` > 0 —
+    * [[solveDocFreqCap]] applied to the measured df histogram with budget
+    * `pairBudgetPerDoc · docs`, whichever is SMALLER. The budget form is the
+    * corpus-scale path: it bounds the self-join's output rows (and therefore
+    * its shuffle) linearly in corpus size by construction, where any fixed
+    * cap is quadratic-in-waiting (each k-gram's df grows with the corpus).
+    * The histogram is a bounded driver collect: d distinct df values imply
+    * Σ df ≥ d(d+1)/2 ≤ total (doc, fp) rows R, so d ≤ √(2R) — ~14k values
+    * at 10^8 fingerprint rows. */
   def winnowedOverlapPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, w: Int = 8, minShared: Int = 2,
-      maxDocFreq: Int = 1000,
+      maxDocFreq: Int = 1000, pairBudgetPerDoc: Int = 0,
       onStats: Option[WinnowStats => Unit] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -545,7 +587,23 @@ object Dedup {
         TextStats.winnowFingerprints(t, k, w).iterator.map(fp => (id, fp))
       }.toDF("doc_id", "fp").persist()
     val freq = fps.groupBy("fp").agg(count(lit(1)).as("df_"))
-    val rare = freq.filter(col("df_") <= maxDocFreq).select("fp")
+    // (df value → fingerprint count) histogram: the cap solver's and the
+    // stats hook's shared input — one extra aggregation over the persisted
+    // fingerprints, skipped entirely when neither consumer is active
+    val hist: Array[(Long, Long)] =
+      if (pairBudgetPerDoc <= 0 && onStats.isEmpty) Array.empty
+      else freq.groupBy(col("df_")).agg(count(lit(1)).as("nfp"))
+        .as[(Long, Long)].collect().sortBy(_._1)
+    val cap: Long =
+      if (pairBudgetPerDoc <= 0) maxDocFreq.toLong
+      else {
+        // budget scales with the INPUT doc count (one cheap pruned scan; docs
+        // too short to fingerprint still widen the budget — intended: the
+        // budget prices the corpus, the histogram prices the join)
+        val nDocs = df.filter(col(idCol).isNotNull && col(textCol).isNotNull).count()
+        solveDocFreqCap(hist, pairBudgetPerDoc.toDouble * nDocs, maxDocFreq)
+      }
+    val rare = freq.filter(col("df_") <= cap).select("fp")
     val kept = fps.join(rare, Seq("fp"), "left_semi")
     val out = kept.as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
@@ -554,13 +612,13 @@ object Dedup {
       .filter(col("shared") >= minShared)
       .localCheckpoint()
     onStats.foreach { f =>
-      // two aggregations over the persisted fingerprint frame + a count of
-      // the checkpointed output — stats never re-run the winnowing pass
-      val a = freq.agg(count(lit(1)),
-        count(when(col("df_") > maxDocFreq, lit(1))),
-        coalesce(sum(when(col("df_") > maxDocFreq, col("df_"))), lit(0L))).head()
-      f(WinnowStats(fps.select("doc_id").distinct().count(), a.getLong(0),
-        a.getLong(1), a.getLong(2), out.count()))
+      // dropped volumes are ANALYTIC in the collected histogram; the only
+      // cluster-side stats costs are the doc count and the output count
+      val dropped = hist.filter(_._1 > cap)
+      f(WinnowStats(fps.select("doc_id").distinct().count(),
+        hist.map(_._2).sum, cap,
+        dropped.map(_._2).sum, dropped.map { case (v, n) => v * n }.sum,
+        out.count()))
     }
     fps.unpersist()
     out

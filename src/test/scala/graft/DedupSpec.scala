@@ -213,6 +213,47 @@ class DedupSpec extends SparkSpec {
     assert(guarded < unguarded / 5, s"guarded=$guarded unguarded=$unguarded")
   }
 
+  test("winnow budget-solved df cap bounds the join and keeps rare evidence") {
+    // 60 docs share a mid-frequency template passage (its fingerprints have
+    // df=60 — under the DEFAULT cap of 1000, so a fixed cap would emit all
+    // 60·59/2 template pairs); two docs share a rare passage (df=2). A small
+    // pair budget must solve the cap BELOW 60 — killing the template pairs —
+    // while the df-2 floor keeps the rare planted pair.
+    val boiler = "mid frequency template paragraph shared across the whole cohort of documents"
+    val rare = "a rare copied passage that appears in exactly two documents only"
+    def u(i: Int) = f"uniq$i%04dtag" * 3
+    val rows = (0 until 60).map(i => (i.toLong, s"${u(i)} . $boiler . ${u(i)}")) ++
+      Seq((100L, s"${u(100)} . $rare . ${u(100)}"),
+        (101L, s"${u(101)} . $rare . ${u(101)}"))
+    val df = docs(rows)
+    var st: Option[Dedup.WinnowStats] = None
+    val pairs = Dedup.winnowedOverlapPairs(df, "doc_id", "text",
+      minShared = 1, maxDocFreq = 1000, pairBudgetPerDoc = 4,
+      onStats = Some(s => st = Some(s)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 101L)), s"rare pair lost")
+    // the cap bounds join VOLUME (≤ budget·docs pairs by construction); the
+    // unbudgeted run must show what was at stake — all C(60,2) template pairs
+    assert(pairs.size <= 4 * 62, s"budget exceeded: ${pairs.size} pairs")
+    val unbudgeted = Dedup.winnowedOverlapPairs(df, "doc_id", "text",
+      minShared = 1, maxDocFreq = 1000).count()
+    assert(unbudgeted >= 60L * 59 / 2, s"unbudgeted=$unbudgeted")
+    val s = st.get
+    assert(s.cap >= 2 && s.cap < 60, s"cap=${s.cap}")
+    assert(s.droppedFps > 0 && s.droppedRows >= s.droppedFps * s.cap,
+      s"dropped_fps=${s.droppedFps} dropped_rows=${s.droppedRows}")
+  }
+
+  test("solveDocFreqCap: budget-monotone, floored at 2, ceilinged at maxDocFreq") {
+    // cumulative analytic pairs: df=2 → 10, df=5 → 50, df=50 → 2500
+    val hist = Array((2L, 10L), (5L, 4L), (50L, 2L))
+    assert(Dedup.solveDocFreqCap(hist, 9.0, 1000) === 2L) // df-2 tier over budget → floor
+    assert(Dedup.solveDocFreqCap(hist, 10.0, 1000) === 2L)
+    assert(Dedup.solveDocFreqCap(hist, 50.0, 1000) === 5L)
+    assert(Dedup.solveDocFreqCap(hist, 1e9, 1000) === 50L)
+    assert(Dedup.solveDocFreqCap(hist, 1e9, 30) === 5L) // maxDocFreq still the ceiling
+  }
+
   test("ngram jaccard drops boilerplate shingles above maxDocFreq (misuse guard)") {
     // every doc shares one long boilerplate run; without the stop-shingle
     // guard each of its ~60 8-gram shingles joins 40×39/2 pairs
