@@ -322,7 +322,8 @@ object Bench {
           f"""{"docs":${s.docs},"buckets":${s.buckets},"hot_buckets":${s.hotBuckets},""" +
             f""""hot_rows":${s.hotRows},"candidates":${s.candidates},"verified":${s.verified}}"""
         def shJson(s: Dedup.SimhashStats) =
-          f"""{"docs":${s.docs},"buckets":${s.buckets},"hot_buckets":${s.hotBuckets},""" +
+          f"""{"docs":${s.docs},"blocks":${s.blocks},"tables":${s.tables},""" +
+            f""""buckets":${s.buckets},"hot_buckets":${s.hotBuckets},""" +
             f""""hot_rows":${s.hotRows},"candidates":${s.candidates},"pairs":${s.pairs}}"""
         def wnJson(s: Dedup.WinnowStats) =
           f"""{"docs":${s.docs},"fingerprints":${s.fingerprints},"cap":${s.cap},""" +

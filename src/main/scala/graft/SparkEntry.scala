@@ -359,8 +359,9 @@ object SparkEntry {
       Dedup.winnowedOverlapPairs(t(s, dir, "documents"), "doc_id", "text",
         k = 16, w = 8, minShared = 3)),
     // maxHamming=3: the standard simhash near-dup radius (Manku et al.,
-    // WWW'07) — banding guarantees full recall at the requested radius
-    // (bands = maxHamming+1), so the radius choice is the cost knob
+    // WWW'07) — combinatorial blocking guarantees full recall at the
+    // requested radius at EVERY solved geometry, so the radius choice is
+    // the cost knob and the block count scales with corpus size
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
     "lsh_ann_topk" -> ((s, dir) => {

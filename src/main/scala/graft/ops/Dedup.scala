@@ -191,9 +191,9 @@ object Dedup {
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
       .as[(Long, String)].persist()
     // minhash signature per doc — computed in one pass, no shuffle.
-    // Persisted: the bucket-size aggregation and the size-attach join both
-    // read the band fan-out, which would otherwise re-shingle + re-minhash
-    // every document twice; the per-doc signature row is k longs.
+    // Persisted: the bucket-size aggregation and the small/hot split joins
+    // all read the band fan-out, which would otherwise re-shingle +
+    // re-minhash every document per consumer; the signature row is k longs.
     val sigs = docs.map { case (id, text) =>
       val sh = Hashing.charShingles(text.toLowerCase, shingleN)
       (id, Hashing.minhash(sh, k))
@@ -202,8 +202,8 @@ object Dedup {
     // band keys (hash of each signature slice); the full-signature sort key
     // for hot-bucket sorted-neighborhood is joined back from the persisted
     // sigs for the (usually empty) oversized subset only — it would
-    // otherwise be the dominating column on every row of the size
-    // aggregation and size-attach exchanges
+    // otherwise be the dominating column on every fan-out row through the
+    // size aggregation and self-join exchanges
     val banded = sigs.select(col("doc_id"),
         posexplode(array(
           (0 until bands).map(b => xxhash64(concat(lit(s"band$b"),
@@ -211,9 +211,20 @@ object Dedup {
       .toDF("doc_id", "band", "bucket")
 
     val sizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("bucket_n"))
-    val sized = banded.join(sizes, Seq("band", "bucket")).persist()
-    val small = sized.filter(col("bucket_n") <= bucketCap)
-    val big = sized.filter(col("bucket_n") > bucketCap)
+    // the hot-bucket LIST is a bounded driver collect — at most
+    // fanoutRows/bucketCap buckets can exceed the cap (≤ 4k at 1M docs ×
+    // 4 bands with cap 1000) — so the small/hot split is two BROADCAST
+    // anti/semi joins against the banded fan-out instead of a full shuffle
+    // join attaching bucket_n to every fan-out row (at scale that join
+    // re-shuffled the whole fan-out plus a sizes table of the same order).
+    // sizes is persisted only when the stats hook will re-aggregate it.
+    val sizesM = if (onStats.isDefined) sizes.persist() else sizes
+    val hot = sizesM.filter(col("bucket_n") > bucketCap)
+      .select(col("band"), col("bucket")).as[(Int, Long)].collect()
+    val hotDf = spark.createDataset(hot.toSeq).toDF("band", "bucket")
+    val small =
+      if (hot.isEmpty) banded
+      else banded.join(broadcast(hotDf), Seq("band", "bucket"), "left_anti")
 
     val smallPairs = small.as("a").join(small.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.band") === col("b.band") &&
@@ -221,9 +232,10 @@ object Dedup {
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
 
     val bigPairs =
-      if (big.isEmpty) smallPairs.limit(0) // cached probe; skip the rank jobs
+      if (hot.isEmpty) smallPairs.limit(0) // driver-side probe; no rank jobs
       else graft.ops.Neighborhood.sortedNeighborhoodPairs(
-          big.join(sigs.select(col("doc_id"),
+          banded.join(broadcast(hotDf), Seq("band", "bucket"), "left_semi")
+            .join(sigs.select(col("doc_id"),
               concat_ws(",", col("sig").cast("array<string>")).as("sort_key")), "doc_id")
             .select(xxhash64(col("band"), col("bucket")).as("bucket"),
               col("doc_id").as("id"), col("sort_key").as("sort")), neighborWindow)
@@ -259,19 +271,19 @@ object Dedup {
     // is dropped right after CC returns.
     val edges = if (onStats.isDefined) verified.persist() else verified
     onStats.foreach { f =>
-      // one aggregation over the persisted banded frame; cand and edges are
-      // persisted, so those counts run the verify join exactly once
-      val b = sized.agg(
-        countDistinct(col("band"), col("bucket")),
-        countDistinct(when(col("bucket_n") > bucketCap,
-          struct(col("band"), col("bucket")))),
-        count(when(col("bucket_n") > bucketCap, lit(1)))).head()
+      // one aggregation over the persisted bucket-size frame; cand and edges
+      // are persisted, so those counts run the verify join exactly once
+      val b = sizesM.agg(
+        count(lit(1)),
+        count(when(col("bucket_n") > bucketCap, lit(1))),
+        coalesce(sum(when(col("bucket_n") > bucketCap, col("bucket_n"))),
+          lit(0L))).head()
       f(MinhashStats(docs.count(), b.getLong(0), b.getLong(1), b.getLong(2),
         cand.count(), edges.count()))
     }
     val comp = ConnectedComponents.run(edges)
-    if (onStats.isDefined) edges.unpersist()
-    sized.unpersist(); cand.unpersist(); sigs.unpersist(); docs.unpersist()
+    if (onStats.isDefined) { edges.unpersist(); sizesM.unpersist() }
+    cand.unpersist(); sigs.unpersist(); docs.unpersist()
     df.filter(col(idCol).isNotNull)
       .select(col(idCol).cast("long").as("doc_id"))
       .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
@@ -426,9 +438,9 @@ object Dedup {
         (id, keys, sortKey.toString)
       }
     }.toDF("id", "keys", "sort_key")
-      // persisted: the bucket-size aggregation and the size-attach join both
-      // read the banded fan-out, which would otherwise evaluate the
-      // hyperplane hashing TWICE per vector — at scale the signatures are
+      // persisted: the bucket-size aggregation and the small/hot split
+      // joins all read the banded fan-out, which would otherwise evaluate
+      // the hyperplane hashing once per consumer — at scale the signatures are
       // bands×bandBits dot products each, the single biggest map-side cost.
       // Persisting the COMPACT per-vector row (not the fan-out, whose
       // sort_key string is duplicated per band) keeps storage O(n·sigBytes).
@@ -437,23 +449,33 @@ object Dedup {
     // (bands×bandBits chars — the row-dominating column) is needed only by
     // the hot-bucket fallback, so it is joined back from the persisted sigs
     // for that (usually empty) subset instead of riding every banded row
-    // through the size aggregation and size-attach exchanges
+    // through the size aggregation and self-join exchanges
     val banded = sigs.select(col("id"), posexplode(col("keys")))
       .toDF("id", "band", "key")
 
     val sizes = banded.groupBy("band", "key").agg(count(lit(1)).as("bucket_n"))
-    val sized = banded.join(sizes, Seq("band", "key")).persist()
-    val small = sized.filter(col("bucket_n") <= bucketCap)
-    val big = sized.filter(col("bucket_n") > bucketCap)
+    // hot-bucket list: bounded driver collect (≤ fanoutRows/bucketCap
+    // buckets — ~41k at 500k vectors × 165 bands with cap 2000), so the
+    // small/hot split is two broadcast anti/semi joins instead of a shuffle
+    // join attaching bucket_n to all n·bands fan-out rows (at 500k vectors
+    // that join re-shuffled 82M rows plus a sizes table of the same order)
+    val sizesM = if (onStats.isDefined) sizes.persist() else sizes
+    val hot = sizesM.filter(col("bucket_n") > bucketCap)
+      .select(col("band"), col("key")).as[(Int, Long)].collect()
+    val hotDf = spark.createDataset(hot.toSeq).toDF("band", "key")
+    val small =
+      if (hot.isEmpty) banded
+      else banded.join(broadcast(hotDf), Seq("band", "key"), "left_anti")
 
     val smallPairs = small.as("a").join(small.as("b"),
         col("a.key") === col("b.key") && col("a.band") === col("b.band") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     val bigPairs =
-      if (big.isEmpty) smallPairs.limit(0)
+      if (hot.isEmpty) smallPairs.limit(0) // driver-side probe; no rank jobs
       else Neighborhood.sortedNeighborhoodPairs(
-          big.join(sigs.select(col("id"), col("sort_key")), "id")
+          banded.join(broadcast(hotDf), Seq("band", "key"), "left_semi")
+            .join(sigs.select(col("id"), col("sort_key")), "id")
             .select(xxhash64(col("band"), col("key")).as("bucket"),
               col("id"), col("sort_key").as("sort")), neighborWindow)
         .select(col("src").as("id_a"), col("dst").as("id_b"))
@@ -487,7 +509,8 @@ object Dedup {
     onStats.foreach(f =>
       f(LshStats(n, bandBits, nBands, cand.count(), verified.count(),
         designRecall(bandBits, nBands))))
-    sized.unpersist(); cand.unpersist(); sigs.unpersist(); vecs.unpersist()
+    if (onStats.isDefined) sizesM.unpersist()
+    cand.unpersist(); sigs.unpersist(); vecs.unpersist()
     verified.select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
 
@@ -624,36 +647,89 @@ object Dedup {
     out
   }
 
-  /** Measured volumes of one [[simhashPairs]] invocation — the hot-bucket
-    * cap engagement counters (`hotBuckets`/`hotRows`) plus raw candidate
-    * volume (banded-join output rows before the Hamming gate), so the
-    * capped-bucket recall trade is measured, not silent. */
-  final case class SimhashStats(docs: Long, buckets: Long, hotBuckets: Long,
-      hotRows: Long, candidates: Long, pairs: Long)
+  /** Measured volumes of one [[simhashPairs]] invocation — the solved block
+    * count (`blocks`: the combinatorial-blocking geometry) and table count,
+    * the hot-bucket cap engagement counters (`hotBuckets`/`hotRows`), plus
+    * raw candidate volume (banded-join output rows before the Hamming gate),
+    * so both the geometry choice and the capped-bucket recall trade are
+    * measured, not silent. */
+  final case class SimhashStats(docs: Long, blocks: Int, tables: Long,
+      buckets: Long, hotBuckets: Long, hotRows: Long, candidates: Long,
+      pairs: Long)
 
-  /** SimHash near-dup candidates: 64-bit simhash, blocked on `maxHamming+1`
-    * bands — by pigeonhole, any pair at Hamming distance ≤ maxHamming shares
-    * at least one whole band. Returns verified pairs with their Hamming
-    * distance.
+  /** C(m, k) via the exact stepwise product, clamped at 2^40 (far above any
+    * usable table count — callers compare against small fan-out caps). */
+  private def choose(m: Int, k: Int): Long = {
+    var c = 1L
+    var i = 0
+    val kk = math.min(k, m - k)
+    while (i < kk && c < (1L << 40)) { c = c * (m - i) / (i + 1); i += 1 }
+    c
+  }
+
+  /** Smallest simhash block count m ∈ [maxHamming+1, …] whose expected
+    * RANDOM band-collision volume stays within `candBudgetPerDoc · n` —
+    * the simhash analogue of [[lshGeometry]]/[[solveDocFreqCap]]. With m
+    * blocks over the 64-bit signature and one table per (m − maxHamming)-
+    * subset of blocks (Manku et al., WWW'07 generalized blocking), a table's
+    * key carries ≥ (m − maxHamming)·⌊64/m⌋ bits, so expected random
+    * collisions are C(m, maxHamming) · n²/2^(keyBits+1); the minimal
+    * m = maxHamming+1 (today's single-block bands) is kept while it fits
+    * the budget, and m grows — widening keys exponentially at a
+    * combinatorial fan-out cost capped by `maxFanout` tables. At radius 3:
+    * m=4 to ~130k docs, m=5 (10 tables, ~24-bit keys) to ~10^9, m=6
+    * (20 tables, ~32-bit keys) beyond — the growth path a 10^10-doc corpus
+    * needs, chosen from measured n rather than guessed. */
+  private[graft] def solveSimhashBlocks(n: Long, maxHamming: Int,
+      candBudgetPerDoc: Int = 16, maxFanout: Int = 64): Int = {
+    val r = maxHamming
+    def ok(m: Int): Boolean = {
+      val keyBits = (m - r) * (64 / m)
+      choose(m, r).toDouble * n / math.pow(2.0, keyBits + 1) <=
+        candBudgetPerDoc.toDouble
+    }
+    var m = r + 1
+    while (!ok(m) && m < 64 && 64 / (m + 1) >= 1 &&
+        choose(m + 1, r) <= maxFanout) m += 1
+    m
+  }
+
+  /** SimHash near-dup candidates: 64-bit simhash, combinatorially blocked —
+    * the signature is split into `blocks` near-equal bit blocks and keyed on
+    * every (blocks − maxHamming)-subset of them; by pigeonhole, any pair at
+    * Hamming distance ≤ maxHamming has some subset of blocks fully intact,
+    * so recall at the radius is GUARANTEED at every geometry. Returns
+    * verified pairs with their Hamming distance.
+    *
+    * Adaptive geometry (default, `blocks` < 0): [[solveSimhashBlocks]]
+    * picks the smallest block count whose expected random-collision volume
+    * fits `candBudgetPerDoc · n`. The minimal blocks = maxHamming+1 (each
+    * table keyed on ONE ⌊64/(r+1)⌋-bit block) is structurally n²/2^width
+    * candidates per table — fine to ~10^5 docs at radius 3, measured 315M
+    * candidates at 10^6 — while one step up (blocks=5: C(5,3)=10 tables,
+    * ~24-bit keys) collapses the random collisions by ~2^8 for a 2.5× wider
+    * fan-out. The OUTPUT pair set is geometry-independent (recall complete
+    * at the radius + exact Hamming gate); only cost moves. Explicit
+    * `blocks` pins the geometry.
     *
     * Hot-bucket guard (same discipline as [[minhashLsh]] /
-    * [[embeddingCosinePairsLsh]]): band width is ⌊64/(maxHamming+1)⌋, so an
-    * unguarded banded self-join is structurally n²/2^width candidates per
-    * band — ONE boilerplate band value shared by d docs emits d²/2 join
-    * rows. Band buckets above `bucketCap` switch to bounded
-    * sorted-neighborhood pairing ([[Neighborhood]]) over the signature's
-    * 64-char binary string (Hamming-local on high bits: docs within the
-    * radius differ in few bits and sort adjacently), at O(rows·window)
-    * pairs. Recall trade: the pigeonhole guarantee holds UNCAPPED buckets
-    * only — inside a capped bucket, pairs farther than `neighborWindow`
-    * positions apart in signature order are missed (every emitted pair is
-    * still Hamming-verified, so precision is unaffected). `onStats` carries
-    * the hot-bucket counters so the engagement — and therefore where the
-    * guarantee was traded — is measured per run. */
+    * [[embeddingCosinePairsLsh]]): table buckets above `bucketCap` switch
+    * to bounded sorted-neighborhood pairing ([[Neighborhood]]) over the
+    * signature's 64-char binary string (Hamming-local on high bits: docs
+    * within the radius differ in few bits and sort adjacently), at
+    * O(rows·window) pairs. Recall trade: the pigeonhole guarantee holds
+    * UNCAPPED buckets only — inside a capped bucket, pairs farther than
+    * `neighborWindow` positions apart in signature order are missed (every
+    * emitted pair is still Hamming-verified, so precision is unaffected).
+    * `onStats` carries the solved geometry and hot-bucket counters so the
+    * choice — and where the guarantee was traded — is measured per run. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bucketCap: Int = 1000, neighborWindow: Int = 8,
+      blocks: Int = -1, candBudgetPerDoc: Int = 16,
       onStats: Option[SimhashStats => Unit] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
+    require(blocks < 0 || (blocks > maxHamming && blocks <= 64),
+      "blocks must exceed maxHamming (pigeonhole) and fit 64 bits")
     val spark = df.sparkSession
     import spark.implicits._
     // persisted: the self-join below would otherwise re-tokenize and
@@ -669,24 +745,42 @@ object Dedup {
         if (f.isEmpty) None else Some((id, Hashing.simhash(f)))
       }
       .toDF("doc_id", "sim").persist()
-    // bands of near-equal width covering all 64 bits (first `rem` bands get
-    // the extra bit)
-    val bands = maxHamming + 1
-    val base = 64 / bands
-    val rem = 64 % bands
-    val widths = Array.tabulate(bands)(b => if (b < rem) base + 1 else base)
+    // solved (or pinned) block geometry; the solver's n is one cached pass
+    // over the persisted signatures
+    val m = if (blocks > 0) blocks
+      else solveSimhashBlocks(sigs.count(), maxHamming, candBudgetPerDoc)
+    // blocks of near-equal width covering all 64 bits (first `rem` blocks
+    // get the extra bit); one table per (m − maxHamming)-subset, keyed on
+    // xxhash64(tableId, blockValues…) — hashing normalizes variable subset
+    // widths into one 64-bit join key
+    val base = 64 / m
+    val rem = 64 % m
+    val widths = Array.tabulate(m)(b => if (b < rem) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _)
-    val keyCols = (0 until bands).map { b =>
+    def blockCol(b: Int): Column =
       if (widths(b) == 64) col("sim")
       else shiftrightunsigned(col("sim"), offsets(b))
         .bitwiseAND(lit((1L << widths(b)) - 1))
+    // deterministic table order: Scala's combinations enumerate in
+    // lexicographic index order
+    val subsets = (0 until m).combinations(m - maxHamming).toArray
+    val keyCols = subsets.zipWithIndex.map { case (s, i) =>
+      xxhash64((lit(i) +: s.map(blockCol)): _*)
     }
-    val banded = sigs.select(col("doc_id"), col("sim"), posexplode(array(keyCols: _*)))
+    val banded = sigs.select(col("doc_id"), col("sim"), posexplode(array(keyCols.toIndexedSeq: _*)))
       .toDF("doc_id", "sim", "band", "key")
     val sizes = banded.groupBy("band", "key").agg(count(lit(1)).as("bucket_n"))
-    val sized = banded.join(sizes, Seq("band", "key")).persist()
-    val small = sized.filter(col("bucket_n") <= bucketCap)
-    val big = sized.filter(col("bucket_n") > bucketCap)
+    // hot-bucket list: bounded driver collect (≤ fanoutRows/bucketCap
+    // buckets — ≤ 4k at 1M docs × 4 bands with cap 1000), so the small/hot
+    // split is two broadcast anti/semi joins against the band fan-out
+    // instead of a shuffle join attaching bucket_n to every fan-out row
+    val sizesM = if (onStats.isDefined) sizes.persist() else sizes
+    val hot = sizesM.filter(col("bucket_n") > bucketCap)
+      .select(col("band"), col("key")).as[(Int, Long)].collect()
+    val hotDf = spark.createDataset(hot.toSeq).toDF("band", "key")
+    val small =
+      if (hot.isEmpty) banded
+      else banded.join(broadcast(hotDf), Seq("band", "key"), "left_anti")
     // the small (normal) path carries both signatures through the join, so
     // the Hamming distance is a codegen'd bit_count on the joined row —
     // no join-back, and the gate runs BEFORE the distinct() shuffle
@@ -700,10 +794,11 @@ object Dedup {
     // so lexicographic order IS unsigned-integer order); the signatures are
     // joined back from the persisted sigs for this (usually empty) subset
     val bigCand =
-      if (big.isEmpty) smallCand.limit(0)
+      if (hot.isEmpty) smallCand.limit(0) // driver-side probe; no rank jobs
       else Neighborhood.sortedNeighborhoodPairs(
-          big.select(xxhash64(col("band"), col("key")).as("bucket"),
-            col("doc_id").as("id"), lpad(bin(col("sim")), 64, "0").as("sort")),
+          banded.join(broadcast(hotDf), Seq("band", "key"), "left_semi")
+            .select(xxhash64(col("band"), col("key")).as("bucket"),
+              col("doc_id").as("id"), lpad(bin(col("sim")), 64, "0").as("sort")),
           neighborWindow)
         .select(col("src").as("id_a"), col("dst").as("id_b"))
         .join(sigs.select(col("doc_id").as("id_a"), col("sim").as("sim_a")), "id_a")
@@ -722,7 +817,7 @@ object Dedup {
       // counts instead of persisting + counting the candidate frame itself,
       // so the stats hook costs the timed run almost nothing.
       val w = neighborWindow.toLong
-      val b = sizes.agg(
+      val b = sizesM.agg(
         count(lit(1)),
         count(when(col("bucket_n") > bucketCap, lit(1))),
         coalesce(sum(when(col("bucket_n") > bucketCap, col("bucket_n"))),
@@ -731,10 +826,11 @@ object Dedup {
             lit(w) * col("bucket_n") - lit(w * (w + 1) / 2))
           .otherwise(floor(col("bucket_n") * (col("bucket_n") - 1) / 2))),
           lit(0L))).head()
-      f(SimhashStats(sigs.count(), b.getLong(0), b.getLong(1), b.getLong(2),
-        b.getLong(3), out.count()))
+      f(SimhashStats(sigs.count(), m, subsets.length.toLong, b.getLong(0),
+        b.getLong(1), b.getLong(2), b.getLong(3), out.count()))
     }
-    sized.unpersist(); sigs.unpersist()
+    if (onStats.isDefined) sizesM.unpersist()
+    sigs.unpersist()
     out
   }
 }

@@ -116,6 +116,28 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.simhashPairs(texts.toDF("doc_id", "text"), "doc_id", "text",
         maxHamming).select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got === want, s"missing=${(want -- got).size} extra=${(got -- want).size}")
+    // the OUTPUT pair set is geometry-independent: a wider combinatorial
+    // blocking (here 14 blocks → C(14,12)=91 tables of 2-block keys) must
+    // produce the identical set — recall complete by pigeonhole at every
+    // geometry, precision pinned by the exact Hamming gate
+    val gotWide = Dedup.simhashPairs(texts.toDF("doc_id", "text"), "doc_id",
+        "text", maxHamming, blocks = 14, bucketCap = 1000000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(gotWide === want,
+      s"missing=${(want -- gotWide).size} extra=${(gotWide -- want).size}")
+  }
+
+  test("solveSimhashBlocks: minimal blocks while the budget holds, grows with n, capped fan-out") {
+    // radius 3: m=4 (today's single-block bands) holds to ~10^5 docs,
+    // m=5 (10 tables, ~24-bit keys) covers 10^6, m=6 (20 tables) 10^9
+    assert(Dedup.solveSimhashBlocks(10000L, 3) === 4)
+    assert(Dedup.solveSimhashBlocks(100000L, 3) === 4)
+    assert(Dedup.solveSimhashBlocks(1000000L, 3) === 5)
+    assert(Dedup.solveSimhashBlocks(1000000000L, 3) === 6)
+    // radius 10 at small n: the C(m, 10) fan-out cap stops growth at m=11
+    assert(Dedup.solveSimhashBlocks(300L, 10) === 11)
+    // radius 0: one table keyed on the whole signature
+    assert(Dedup.solveSimhashBlocks(1000000000L, 0) === 1)
   }
 
   test("simhash signature is content-meaningful on CJK and punct-only text; " +
