@@ -65,7 +65,7 @@ object Bench {
     * judge can read whole — before printing, so it lands even if stdout is
     * cut. */
   private val benchFile: String =
-    sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "/root/repo/BENCH_battery.json")
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_battery.json") // cwd-relative
 
   private def writeBenchFile(line: String): Unit =
     try java.nio.file.Files.write(java.nio.file.Paths.get(benchFile),
@@ -163,9 +163,11 @@ object Bench {
       spark.stop()
       return
     }
-    // SPARK_GRAFT_BENCH_MODE=scale: skip the scaling rounds + multi-JVM and
-    // run only the scale10x/100x + compaction phases (iteration aid for the
-    // heavy-op growth measurements)
+    // SPARK_GRAFT_BENCH_MODE=scale: skip the battery, scaling rounds and
+    // multi-JVM; the scale10x/100x + compaction + streaming phases run
+    // (iteration aid for the heavy-op growth measurements — streaming is
+    // kept because its paired lanes are cheap and window-matched numbers
+    // alongside the scale anchors have proven useful)
     val scaleOnly = sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("scale")
     // three rounds, alternating run order, so host-load drift during a round
     // biases alternate rounds in opposite directions; best round reported,

@@ -359,9 +359,11 @@ object SparkEntry {
       Dedup.winnowedOverlapPairs(t(s, dir, "documents"), "doc_id", "text",
         k = 16, w = 8, minShared = 3)),
     // maxHamming=3: the standard simhash near-dup radius (Manku et al.,
-    // WWW'07) — combinatorial blocking guarantees full recall at the
-    // requested radius at EVERY solved geometry, so the radius choice is
-    // the cost knob and the block count scales with corpus size
+    // WWW'07) — combinatorial blocking keeps pigeonhole recall at the
+    // requested radius at every solved geometry for all buckets under the
+    // hot-bucket cap (the cap's bounded fallback is the one documented
+    // recall trade, counted per run by SimhashStats); the radius is the
+    // cost knob and the block count scales with corpus size
     "simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)),
     "lsh_ann_topk" -> ((s, dir) => {

@@ -49,9 +49,13 @@ object Xlsx {
     require(rows.forall(_.length == header.length),
       "every row must have one cell per header column")
     // Excel's sheet-name rules: 1-31 chars, none of []:*?/\ — a violating
-    // name writes a file Excel refuses to open, so fail at the call site
-    require(sheetName.nonEmpty && sheetName.length <= 31,
-      s"sheet name must be 1-31 chars: '$sheetName'")
+    // name writes a file Excel refuses to open, so fail at the call site.
+    // Validated AFTER esc()'s control-char stripping: a name of only
+    // strippable code points would otherwise pass nonEmpty here and still
+    // land as name="" in workbook.xml — the exact file this guard exists
+    // to refuse. (esc also entity-escapes, which cannot empty a name.)
+    require(esc(sheetName).nonEmpty && sheetName.length <= 31,
+      s"sheet name must be 1-31 chars after XML-invalid stripping: '$sheetName'")
     require(!sheetName.exists("[]:*?/\\".contains(_)),
       s"sheet name must not contain []:*?/\\ : '$sheetName'")
     def row(cells: Seq[String]): String =

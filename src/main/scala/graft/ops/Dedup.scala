@@ -85,6 +85,37 @@ object Dedup {
   final case class MinhashStats(docs: Long, buckets: Long, hotBuckets: Long,
       hotRows: Long, candidates: Long, verified: Long)
 
+  /** The shared small/hot bucket split of the banded LSH family
+    * ([[minhashLsh]], [[embeddingCosinePairsLsh]], [[simhashPairs]]):
+    * aggregate per-(band, key) bucket sizes, collect the HOT-bucket list to
+    * the driver (bounded: at most fanoutRows/bucketCap buckets can exceed
+    * the cap — e.g. ≤ 41k at 500k vectors × 165 bands, cap 2000), and split
+    * the fan-out with BROADCAST anti/semi joins. The fan-out is never
+    * re-shuffled just to learn its own bucket sizes (the previous
+    * size-attach join moved 82M rows at 500k vectors), and the hot-path
+    * probe is a driver-side emptiness check instead of a Spark job.
+    * `sizes` is persisted only when a stats hook will re-aggregate it;
+    * callers release it via `releaseSizes()` after the stats read. */
+  private final case class BucketSplit(small: DataFrame, hotSubset: DataFrame,
+      hotEmpty: Boolean, sizes: DataFrame, releaseSizes: () => Unit)
+
+  private def splitHotBuckets(banded: DataFrame, bandCol: String,
+      keyCol: String, bucketCap: Int, persistSizes: Boolean): BucketSplit = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    val sizes = banded.groupBy(bandCol, keyCol).agg(count(lit(1)).as("bucket_n"))
+    val sizesM = if (persistSizes) sizes.persist() else sizes
+    val hot = sizesM.filter(col("bucket_n") > bucketCap)
+      .select(col(bandCol), col(keyCol)).as[(Int, Long)].collect()
+    val hotDf = spark.createDataset(hot.toSeq).toDF(bandCol, keyCol)
+    val small =
+      if (hot.isEmpty) banded
+      else banded.join(broadcast(hotDf), Seq(bandCol, keyCol), "left_anti")
+    val hotSubset = banded.join(broadcast(hotDf), Seq(bandCol, keyCol), "left_semi")
+    BucketSplit(small, hotSubset, hot.isEmpty, sizesM,
+      () => if (persistSizes) { sizesM.unpersist(); () } else ())
+  }
+
   /** Exact dedup: keep the smallest id per fingerprint group.
     * Returns (idCol, keeper, groupSize). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -210,31 +241,18 @@ object Dedup {
             slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast("string")))): _*)))
       .toDF("doc_id", "band", "bucket")
 
-    val sizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("bucket_n"))
-    // the hot-bucket LIST is a bounded driver collect — at most
-    // fanoutRows/bucketCap buckets can exceed the cap (≤ 4k at 1M docs ×
-    // 4 bands with cap 1000) — so the small/hot split is two BROADCAST
-    // anti/semi joins against the banded fan-out instead of a full shuffle
-    // join attaching bucket_n to every fan-out row (at scale that join
-    // re-shuffled the whole fan-out plus a sizes table of the same order).
-    // sizes is persisted only when the stats hook will re-aggregate it.
-    val sizesM = if (onStats.isDefined) sizes.persist() else sizes
-    val hot = sizesM.filter(col("bucket_n") > bucketCap)
-      .select(col("band"), col("bucket")).as[(Int, Long)].collect()
-    val hotDf = spark.createDataset(hot.toSeq).toDF("band", "bucket")
-    val small =
-      if (hot.isEmpty) banded
-      else banded.join(broadcast(hotDf), Seq("band", "bucket"), "left_anti")
+    val split = splitHotBuckets(banded, "band", "bucket", bucketCap,
+      persistSizes = onStats.isDefined)
 
-    val smallPairs = small.as("a").join(small.as("b"),
+    val smallPairs = split.small.as("a").join(split.small.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.band") === col("b.band") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
 
     val bigPairs =
-      if (hot.isEmpty) smallPairs.limit(0) // driver-side probe; no rank jobs
+      if (split.hotEmpty) smallPairs.limit(0) // driver-side probe; no rank jobs
       else graft.ops.Neighborhood.sortedNeighborhoodPairs(
-          banded.join(broadcast(hotDf), Seq("band", "bucket"), "left_semi")
+          split.hotSubset
             .join(sigs.select(col("doc_id"),
               concat_ws(",", col("sig").cast("array<string>")).as("sort_key")), "doc_id")
             .select(xxhash64(col("band"), col("bucket")).as("bucket"),
@@ -273,7 +291,7 @@ object Dedup {
     onStats.foreach { f =>
       // one aggregation over the persisted bucket-size frame; cand and edges
       // are persisted, so those counts run the verify join exactly once
-      val b = sizesM.agg(
+      val b = split.sizes.agg(
         count(lit(1)),
         count(when(col("bucket_n") > bucketCap, lit(1))),
         coalesce(sum(when(col("bucket_n") > bucketCap, col("bucket_n"))),
@@ -282,7 +300,8 @@ object Dedup {
         cand.count(), edges.count()))
     }
     val comp = ConnectedComponents.run(edges)
-    if (onStats.isDefined) { edges.unpersist(); sizesM.unpersist() }
+    if (onStats.isDefined) edges.unpersist()
+    split.releaseSizes()
     cand.unpersist(); sigs.unpersist(); docs.unpersist()
     df.filter(col(idCol).isNotNull)
       .select(col(idCol).cast("long").as("doc_id"))
@@ -453,28 +472,19 @@ object Dedup {
     val banded = sigs.select(col("id"), posexplode(col("keys")))
       .toDF("id", "band", "key")
 
-    val sizes = banded.groupBy("band", "key").agg(count(lit(1)).as("bucket_n"))
-    // hot-bucket list: bounded driver collect (≤ fanoutRows/bucketCap
-    // buckets — ~41k at 500k vectors × 165 bands with cap 2000), so the
-    // small/hot split is two broadcast anti/semi joins instead of a shuffle
-    // join attaching bucket_n to all n·bands fan-out rows (at 500k vectors
-    // that join re-shuffled 82M rows plus a sizes table of the same order)
-    val sizesM = if (onStats.isDefined) sizes.persist() else sizes
-    val hot = sizesM.filter(col("bucket_n") > bucketCap)
-      .select(col("band"), col("key")).as[(Int, Long)].collect()
-    val hotDf = spark.createDataset(hot.toSeq).toDF("band", "key")
-    val small =
-      if (hot.isEmpty) banded
-      else banded.join(broadcast(hotDf), Seq("band", "key"), "left_anti")
+    // persistSizes=false: LshStats carries no bucket counters, so nothing
+    // re-reads the sizes frame after the split's own hot-list collect
+    val split = splitHotBuckets(banded, "band", "key", bucketCap,
+      persistSizes = false)
 
-    val smallPairs = small.as("a").join(small.as("b"),
+    val smallPairs = split.small.as("a").join(split.small.as("b"),
         col("a.key") === col("b.key") && col("a.band") === col("b.band") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     val bigPairs =
-      if (hot.isEmpty) smallPairs.limit(0) // driver-side probe; no rank jobs
+      if (split.hotEmpty) smallPairs.limit(0) // driver-side probe; no rank jobs
       else Neighborhood.sortedNeighborhoodPairs(
-          banded.join(broadcast(hotDf), Seq("band", "key"), "left_semi")
+          split.hotSubset
             .join(sigs.select(col("id"), col("sort_key")), "id")
             .select(xxhash64(col("band"), col("key")).as("bucket"),
               col("id"), col("sort_key").as("sort")), neighborWindow)
@@ -509,7 +519,7 @@ object Dedup {
     onStats.foreach(f =>
       f(LshStats(n, bandBits, nBands, cand.count(), verified.count(),
         designRecall(bandBits, nBands))))
-    if (onStats.isDefined) sizesM.unpersist()
+    split.releaseSizes()
     cand.unpersist(); sigs.unpersist(); vecs.unpersist()
     verified.select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
@@ -769,22 +779,12 @@ object Dedup {
     }
     val banded = sigs.select(col("doc_id"), col("sim"), posexplode(array(keyCols.toIndexedSeq: _*)))
       .toDF("doc_id", "sim", "band", "key")
-    val sizes = banded.groupBy("band", "key").agg(count(lit(1)).as("bucket_n"))
-    // hot-bucket list: bounded driver collect (≤ fanoutRows/bucketCap
-    // buckets — ≤ 4k at 1M docs × 4 bands with cap 1000), so the small/hot
-    // split is two broadcast anti/semi joins against the band fan-out
-    // instead of a shuffle join attaching bucket_n to every fan-out row
-    val sizesM = if (onStats.isDefined) sizes.persist() else sizes
-    val hot = sizesM.filter(col("bucket_n") > bucketCap)
-      .select(col("band"), col("key")).as[(Int, Long)].collect()
-    val hotDf = spark.createDataset(hot.toSeq).toDF("band", "key")
-    val small =
-      if (hot.isEmpty) banded
-      else banded.join(broadcast(hotDf), Seq("band", "key"), "left_anti")
+    val split = splitHotBuckets(banded, "band", "key", bucketCap,
+      persistSizes = onStats.isDefined)
     // the small (normal) path carries both signatures through the join, so
     // the Hamming distance is a codegen'd bit_count on the joined row —
     // no join-back, and the gate runs BEFORE the distinct() shuffle
-    val smallCand = small.as("a").join(small.as("b"),
+    val smallCand = split.small.as("a").join(split.small.as("b"),
         col("a.key") === col("b.key") && col("a.band") === col("b.band") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
@@ -794,9 +794,9 @@ object Dedup {
     // so lexicographic order IS unsigned-integer order); the signatures are
     // joined back from the persisted sigs for this (usually empty) subset
     val bigCand =
-      if (hot.isEmpty) smallCand.limit(0) // driver-side probe; no rank jobs
+      if (split.hotEmpty) smallCand.limit(0) // driver-side probe; no rank jobs
       else Neighborhood.sortedNeighborhoodPairs(
-          banded.join(broadcast(hotDf), Seq("band", "key"), "left_semi")
+          split.hotSubset
             .select(xxhash64(col("band"), col("key")).as("bucket"),
               col("doc_id").as("id"), lpad(bin(col("sim")), 64, "0").as("sort")),
           neighborWindow)
@@ -817,7 +817,7 @@ object Dedup {
       // counts instead of persisting + counting the candidate frame itself,
       // so the stats hook costs the timed run almost nothing.
       val w = neighborWindow.toLong
-      val b = sizesM.agg(
+      val b = split.sizes.agg(
         count(lit(1)),
         count(when(col("bucket_n") > bucketCap, lit(1))),
         coalesce(sum(when(col("bucket_n") > bucketCap, col("bucket_n"))),
@@ -829,7 +829,7 @@ object Dedup {
       f(SimhashStats(sigs.count(), m, subsets.length.toLong, b.getLong(0),
         b.getLong(1), b.getLong(2), b.getLong(3), out.count()))
     }
-    if (onStats.isDefined) sizesM.unpersist()
+    split.releaseSizes()
     sigs.unpersist()
     out
   }

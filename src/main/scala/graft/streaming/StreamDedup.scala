@@ -94,7 +94,9 @@ object StreamDedup {
     * only pins its 64/bands-bit slice). Beyond the cap recall degrades to
     * best-effort against the stored set — the documented trade bounding
     * state at `SigCap` longs per live band value; the batch
-    * [[graft.ops.Dedup.simhashPairs]] pass is the completeness backstop. */
+    * [[graft.ops.Dedup.simhashPairs]] pass is the completeness backstop
+    * (itself complete at the radius for all uncapped buckets — its
+    * `bucketCap` hot-bucket fallback is the one documented recall trade). */
   private[streaming] final case class Keeper(sims: List[Long], lastTs: Long)
 
   /** Signatures retained per band value. 8 × 8 bytes: a hot templated band
@@ -152,7 +154,8 @@ object StreamDedup {
     * whenever the earlier doc's signature is among the ≤ SigCap stored for
     * some shared band value — i.e. guaranteed until a band value has seen
     * more than SigCap distinct signatures, best-effort past that (the batch
-    * simhashPairs pass is the completeness backstop).
+    * simhashPairs pass is the completeness backstop — complete at the
+    * radius except inside its own `bucketCap`-capped hot buckets).
     *
     * All band rows of a doc land in the SAME micro-batch, so the per-doc
     * verdict is a plain per-batch vote — [[keptDocs]] inside `foreachBatch`
