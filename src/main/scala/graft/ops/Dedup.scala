@@ -96,10 +96,11 @@ object Dedup {
     * probe is a driver-side emptiness check instead of a Spark job.
     * `sizes` is persisted only when a stats hook will re-aggregate it;
     * callers release it via `releaseSizes()` after the stats read. */
-  private final case class BucketSplit(small: DataFrame, hotSubset: DataFrame,
-      hotEmpty: Boolean, sizes: DataFrame, releaseSizes: () => Unit)
+  private[graft] final case class BucketSplit(small: DataFrame,
+      hotSubset: DataFrame, hotEmpty: Boolean, sizes: DataFrame,
+      releaseSizes: () => Unit)
 
-  private def splitHotBuckets(banded: DataFrame, bandCol: String,
+  private[graft] def splitHotBuckets(banded: DataFrame, bandCol: String,
       keyCol: String, bucketCap: Int, persistSizes: Boolean): BucketSplit = {
     val spark = banded.sparkSession
     import spark.implicits._

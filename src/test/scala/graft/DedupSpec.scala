@@ -127,6 +127,31 @@ class DedupSpec extends SparkSpec {
       s"missing=${(want -- gotWide).size} extra=${(gotWide -- want).size}")
   }
 
+  test("hot-bucket split plans as broadcast anti/semi joins, never a shuffle join on sizes") {
+    import spark.implicits._
+    // a planted hot bucket (value 7 × 300 rows) plus a cold tail
+    val banded = ((0L until 300L).map(i => (i, 0, 7L)) ++
+        (300L until 320L).map(i => (i, 0, i)))
+      .toDF("doc_id", "band", "key")
+    val split = Dedup.splitHotBuckets(banded, "band", "key",
+      bucketCap = 50, persistSizes = false)
+    assert(!split.hotEmpty)
+    // the fan-out side must be filtered by BROADCAST joins against the
+    // collected hot-bucket list — a SortMergeJoin here means the split
+    // regressed to re-shuffling the whole fan-out against its bucket sizes
+    val smallPlan = split.small.queryExecution.executedPlan.toString
+    val hotPlan = split.hotSubset.queryExecution.executedPlan.toString
+    assert(smallPlan.contains("BroadcastHashJoin") &&
+      smallPlan.contains("LeftAnti"), s"small plan:\n$smallPlan")
+    assert(hotPlan.contains("BroadcastHashJoin") &&
+      hotPlan.contains("LeftSemi"), s"hot plan:\n$hotPlan")
+    assert(!smallPlan.contains("SortMergeJoin") &&
+      !hotPlan.contains("SortMergeJoin"))
+    // and the split is exact: hot rows = the planted bucket, small = rest
+    assert(split.hotSubset.count() === 300L)
+    assert(split.small.count() === 20L)
+  }
+
   test("solveSimhashBlocks: minimal blocks while the budget holds, grows with n, capped fan-out") {
     // radius 3: m=4 (today's single-block bands) holds to ~10^5 docs,
     // m=5 (10 tables, ~24-bit keys) covers 10^6, m=6 (20 tables) 10^9
