@@ -38,6 +38,19 @@ object Dedup {
     1.0 - math.pow(1.0 - math.pow(p, bandBits), bands)
   }
 
+  /** Jensen dispersion inflation of RANDOM band collisions at finite
+    * dimension: the pairwise cosine of independent vectors is dispersed
+    * ≈ N(0, 1/dim), per-bit agreement p ≈ 1/2 + c/π for small |c|, so
+    * `E[p^bits] ≈ 0.5^bits · exp((2·bits/π)² / (2·dim))` — collisions among
+    * NON-near-dup pairs exceed the 0.5^bits independence baseline by this
+    * factor. The model is VALIDATED by the scale bench at dim 64
+    * (predicted/measured candidate inflation: 1.58/1.62 at 5k vectors,
+    * 2.50/2.35 at 50k, 4.63/5.66 at 500k), which is why [[lshGeometry]]
+    * trusts it to size capacity when the caller provides `dim`. */
+  private[graft] def dispersionInflation(bits: Int, dim: Int): Double =
+    if (dim <= 0) 1.0
+    else math.exp(math.pow(2.0 * bits / math.Pi, 2) / (2.0 * dim))
+
   /** The adaptive sign-bit LSH geometry for `n` vectors: (bandBits, bands)
     * solved jointly to a fixpoint (see [[embeddingCosinePairsLsh]] for the
     * derivation) so that `2^bandBits ≥ n·bands/32` — total expected
@@ -48,18 +61,27 @@ object Dedup {
     * count is non-decreasing in the width) and capped at `maxBits`, so the
     * loop terminates.
     *
+    * With `dim` > 0 the capacity requirement is inflated by the VALIDATED
+    * finite-dimension dispersion model ([[dispersionInflation]]) so the
+    * budget holds for the measured collision rate, not just the
+    * independence baseline; `dim` = 0 reproduces the uncorrected geometry
+    * exactly (the historical behavior, kept for the pinned solutions).
+    *
     * The default caps [8, 24] bits × [8, 256] bands are mutually consistent
     * at the design point (24-bit bands need 243 bands for 90% recall, under
-    * the 256 cap) and saturate together at n ≈ 2^24·32/243 ≈ 2.2M vectors —
-    * two orders of magnitude past the previous [8,17]×[8,64] caps. Past
-    * saturation the candidate budget degrades gracefully (occupancy grows
-    * linearly in n/n_sat) and the solved geometry's design-point recall is
-    * reported via [[designRecall]]/[[LshStats]] so the trade is carried by
-    * the harness; deployments beyond ~2M vectors per partition-group raise
-    * both caps together (each extra bit doubles capacity and costs ×1.22
-    * bands) or shard the corpus and run per-shard. */
+    * the 256 cap). Uncorrected they saturate at n ≈ 2^24·32/243 ≈ 2.2M
+    * vectors; under the dim-corrected model the honest saturation point is
+    * EARLIER — ≈ 350k at dim 64 (the inflation e^((2b/π)²/2d) ≈ 6.2 at 24
+    * bits eats the headroom). Past saturation the candidate budget degrades
+    * gracefully (occupancy grows linearly in n/n_sat) and the solved
+    * geometry's design-point recall is reported via
+    * [[designRecall]]/[[LshStats]] so the trade is carried by the harness;
+    * deployments beyond raise both caps together (each extra bit doubles
+    * capacity at a cost of ×1.22 bands and ×≈1.16 extra dispersion at
+    * dim 64, b ≈ 24 — still a net ×1.4 capacity per bit) or shard the
+    * corpus and run per-shard. */
   private[graft] def lshGeometry(n: Long, maxBits: Int = 24,
-      maxBands: Int = 256): (Int, Int) = {
+      maxBands: Int = 256, dim: Int = 0): (Int, Int) = {
     require(maxBits >= 8 && maxBits <= 62 && maxBands >= 8,
       s"caps out of range: maxBits=$maxBits maxBands=$maxBands")
     def ceilLog2(x: Long) =
@@ -67,11 +89,20 @@ object Dedup {
     val p = 1.0 - math.acos(0.85) / math.Pi
     def bandsFor(bb: Int): Int = math.min(maxBands, math.max(8,
       math.ceil(math.log(0.1) / math.log(1.0 - math.pow(p, bb))).toInt))
+    // with dim > 0, the capacity requirement is inflated by the VALIDATED
+    // dispersion model ([[dispersionInflation]]) so the ≤ 16·n candidate
+    // budget holds for the measured collision rate, not just the
+    // independence baseline; dim = 0 reproduces the uncorrected geometry
+    // bit-for-bit (integer arithmetic preserved)
+    def target(bb: Int, nb: Int): Long =
+      if (dim <= 0) math.max(n / 32 * nb, 1)
+      else math.max(math.ceil(
+        n / 32.0 * nb * dispersionInflation(bb, dim)), 1.0).toLong
     var bb = math.min(maxBits, math.max(8, ceilLog2(math.max(n / 32, 1))))
     var nb = bandsFor(bb)
     var settled = false
     while (!settled) {
-      val next = math.min(maxBits, math.max(8, ceilLog2(math.max(n / 32 * nb, 1))))
+      val next = math.min(maxBits, math.max(8, ceilLog2(target(bb, nb))))
       if (next == bb) settled = true
       else { bb = next; nb = bandsFor(bb) }
     }
@@ -376,14 +407,18 @@ object Dedup {
     * agreement p = 1 − arccos(0.85)/π ≈ 0.823). The fixpoint converges in a
     * few steps — each extra bit doubles capacity while the band count grows
     * only ×(1/p) ≈ 1.22 — and guarantees `bands·n/2^bandBits ≤ 32`, i.e.
-    * ≤ 16·n expected candidates TOTAL under the independent-random-pair
-    * model. Measured volume runs a small constant factor above that model:
-    * at finite dimension the pairwise cosine is dispersed around 0 (±1/√dim)
+    * ≤ 16·n expected candidates TOTAL. The capacity requirement includes
+    * the finite-dimension dispersion correction ([[dispersionInflation]]):
+    * pairwise cosine of independent vectors is dispersed ±1/√dim around 0
     * and E[p^bits] > (E[p])^bits (Jensen), so band collisions among
-    * NON-near-dup pairs exceed the 0.5^bits baseline — measured 27.9
-    * candidates/vector at 50k and 55.7 at 500k vectors (dim 64) against the
-    * model's ≤ 16; still linear-with-slowly-growing-constant in n, and
-    * carried per run by the `onStats` counters rather than assumed. (The previous scheme sized bandBits
+    * NON-near-dup pairs exceed the 0.5^bits independence baseline by a
+    * factor the model predicts and the scale bench VALIDATED at dim 64
+    * (predicted/measured candidate inflation 1.58/1.62 at 5k vectors,
+    * 2.50/2.35 at 50k, 4.63/5.66 at 500k — the 500k point measured on the
+    * uncorrected geometry, which ran 55.7 candidates/vector against its
+    * ≤ 16 budget; the corrected solver widens keys to hold the budget at
+    * the MEASURED rate). `onStats` still carries per-run counters, so any
+    * residual model gap is a number, not an assumption. (The previous scheme sized bandBits
     * against per-band occupancy only; the recall formula then grew the band
     * count ~n^0.28, making total candidates Θ(n^1.28) — measured 14.5× time
     * for 10× vectors. The signature length bands×bandBits now grows faster —
@@ -391,11 +426,11 @@ object Dedup {
     * dense arithmetic; the shuffle + join volume is what had to be linear.)
     * Caps `maxBits` × `maxBands` (default [8, 24] bits × [8, 256] bands,
     * see [[lshGeometry]]) are mutually consistent at the design point and
-    * saturate together at n ≈ 2.2M vectors; past that the geometry holds at
-    * the caps, occupancy grows again, and the solved geometry's
-    * design-point recall is reported through `onStats` — deployments beyond
-    * raise both caps together, trading fan-out for recall explicitly rather
-    * than silently.
+    * saturate at n ≈ 350k dim-64 vectors under the dispersion-corrected
+    * model (≈ 2.2M uncorrected); past that the geometry holds at the caps,
+    * occupancy grows again, and the solved geometry's design-point recall
+    * is reported through `onStats` — deployments beyond raise both caps
+    * together, trading fan-out for recall explicitly rather than silently.
     * Genuine near-dups (cosine ≳ 0.99) collide with probability ≈ 1 at
     * every setting; at thresholds far below the design point candidates are
     * found with decaying probability, the standard trade (use
@@ -433,7 +468,7 @@ object Dedup {
       if (bits > 0) {
         require(bits % bands == 0 && bits / bands <= 63, "bandBits must fit a Long key")
         (bits / bands, bands)
-      } else lshGeometry(n, maxBits, maxBands)
+      } else lshGeometry(n, maxBits, maxBands, dim = expectedDim)
     val totalBits = bandBits * nBands
     val sigs = vecs.mapPartitions { it =>
       var planes: Array[Array[Double]] = null // built once per task

@@ -411,6 +411,36 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.lshGeometry(1000000L, maxBits = 17, maxBands = 64) === ((17, 62)))
   }
 
+  test("dispersion-corrected LSH geometry: budget holds at the MEASURED collision rate") {
+    // the dispersion model itself, validated by the scale bench at dim 64:
+    // predicted inflation ≈ measured candidate excess at all three points
+    // (1.58/1.62 @ 5k on (12,23); 2.50/2.35 @ 50k on (17,62);
+    //  4.63/5.66 @ 500k on (22,165))
+    assert(math.abs(Dedup.dispersionInflation(12, 64) - 1.58) < 0.02)
+    assert(math.abs(Dedup.dispersionInflation(17, 64) - 2.50) < 0.02)
+    assert(math.abs(Dedup.dispersionInflation(22, 64) - 4.63) < 0.02)
+    // dim = 0 keeps the uncorrected solutions bit-for-bit (pinned above)
+    assert(Dedup.lshGeometry(500000L, dim = 0) === ((22, 165)))
+    // corrected solutions at the bench's dim-64 scale points
+    assert(Dedup.lshGeometry(5000L, dim = 64) === ((13, 28)))
+    assert(Dedup.lshGeometry(50000L, dim = 64) === ((19, 92)))
+    assert(Dedup.lshGeometry(200000L, dim = 64) === ((23, 200)))
+    assert(Dedup.lshGeometry(500000L, dim = 64) === ((24, 243))) // at the caps
+    // pre-saturation, the ≤16·n budget holds INCLUDING the inflation factor
+    for (n <- Seq(1000L, 5000L, 20000L, 50000L, 100000L, 200000L)) {
+      val (bb, nb) = Dedup.lshGeometry(n, dim = 64)
+      assert(n * nb * Dedup.dispersionInflation(bb, 64) <= 32.0 * (1L << bb),
+        s"n=$n: corrected budget broken at ($bb,$nb)")
+      assert(Dedup.designRecall(bb, nb) >= 0.9, s"n=$n recall < 0.9")
+    }
+    // the honest saturation onset at dim 64 is ~350k (earlier than the
+    // uncorrected 2.2M): at 500k the caps bind and the budget is exceeded —
+    // degradation is gradual (expected ~22 cand/row vs the 55.7 the
+    // UNCORRECTED geometry measured at the same n)
+    val (bb5, nb5) = Dedup.lshGeometry(500000L, dim = 64)
+    assert(500000L * nb5 * Dedup.dispersionInflation(bb5, 64) > 32.0 * (1L << bb5))
+  }
+
   test("simhash hot bucket (planted boilerplate band) is capped, pairs bounded, recall traded visibly") {
     import spark.implicits._
     // 300 IDENTICAL docs: one simhash value, so every band bucket holds all
