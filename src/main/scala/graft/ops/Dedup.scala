@@ -449,15 +449,31 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
 
+    // The shuffled representation preserves the SOURCE element width: a
+    // float input (the common storage for learned embeddings) stays
+    // array<float> through the persisted signature input, the candidate
+    // semi-join, and the verify join — HALF the bytes of an unconditional
+    // array<double> cast on the operator's dominant shuffle (candidate
+    // pairs × two vectors each). All arithmetic still runs in double via
+    // exact per-element upcasts (IEEE float→double is lossless), so the
+    // emitted cosines are bit-identical either way; wider/other inputs
+    // keep the double path.
+    val floatInput = df.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
     val vecs = df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .as[(Long, Array[Double])].persist()
+      .select(col(idCol).cast("long"),
+        col(vecCol).cast(if (floatInput) "array<float>" else "array<double>"))
+      .persist()
     // dimension contract: the hyperplane matrix is sized once, so a row with
     // a DIFFERENT vector length must fail fast (same discipline as
     // bruteForceTopK's id-type check) — a lazily-sized matrix would AIOOBE
     // on a longer row and silently truncate a shorter one. The probe is a
     // bounded LocalLimit job on the persisted input, not a full pass.
-    val expectedDim = vecs.head(1).headOption.map(_._2.length).getOrElse(0)
+    val expectedDim = vecs.head(1).headOption
+      .map(_.getSeq[Any](1).length).getOrElse(0)
     // pinning only one of bits/bands would SILENTLY fall into the adaptive
     // branch — a caller who believes the geometry is fixed must get an
     // error, not corpus-size-dependent results
@@ -470,7 +486,11 @@ object Dedup {
         (bits / bands, bands)
       } else lshGeometry(n, maxBits, maxBands, dim = expectedDim)
     val totalBits = bandBits * nBands
-    val sigs = vecs.mapPartitions { it =>
+    // shared signature loop over exact double upcasts; one instance per
+    // partition (mapPartitions calls it once), so the hyperplane matrix is
+    // still built once per task
+    def hashPartition(it: Iterator[(Long, Array[Double])])
+        : Iterator[(Long, Array[Long], String)] = {
       var planes: Array[Array[Double]] = null // built once per task
       it.map { case (id, v) =>
         if (v.length != expectedDim)
@@ -492,7 +512,18 @@ object Dedup {
         }
         (id, keys, sortKey.toString)
       }
-    }.toDF("id", "keys", "sort_key")
+    }
+    val sigs = (if (floatInput)
+        vecs.as[(Long, Array[Float])].mapPartitions { it =>
+          hashPartition(it.map { case (id, v) =>
+            val d = new Array[Double](v.length)
+            var i = 0
+            while (i < v.length) { d(i) = v(i).toDouble; i += 1 }
+            (id, d)
+          })
+        }
+      else vecs.as[(Long, Array[Double])].mapPartitions(hashPartition(_)))
+      .toDF("id", "keys", "sort_key")
       // persisted: the bucket-size aggregation and the small/hot split
       // joins all read the banded fan-out, which would otherwise evaluate
       // the hyperplane hashing once per consumer — at scale the signatures are
@@ -533,22 +564,42 @@ object Dedup {
     val candIds = cand.select(col("id_a").as("v_id"))
       .union(cand.select(col("id_b").as("v_id"))).distinct()
     val vecById = vecs.toDF("v_id", "v_vec").join(candIds, Seq("v_id"), "left_semi")
-    val verified = cand
+    def cosine6(dot: Double, na: Double, nb: Double): Double =
+      if (na == 0 || nb == 0) 0.0
+      else BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val joinedCand = cand
       .join(vecById.withColumnRenamed("v_id", "id_a").withColumnRenamed("v_vec", "va"), "id_a")
       .join(vecById.withColumnRenamed("v_id", "id_b").withColumnRenamed("v_vec", "vb"), "id_b")
-      .as[(Long, Long, Array[Double], Array[Double])]
-      .mapPartitions(_.flatMap { case (idB, idA, va, vb) =>
-        var dot = 0.0; var na = 0.0; var nb = 0.0
-        var i = 0
-        while (i < va.length) {
-          dot += va(i) * vb(i); na += va(i) * va(i); nb += vb(i) * vb(i); i += 1
-        }
-        val c =
-          if (na == 0 || nb == 0) 0.0
-          else BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        if (c >= threshold) Some((idA, idB, c)) else None
-      }).toDF("id_a", "id_b", "cosine")
+    // the float branch upcasts per element inside the loop — the SHUFFLED
+    // pair payload (the join output above, two vectors per candidate pair)
+    // stays at the source's 4-byte width; accumulation order and rounding
+    // are identical to the double branch, so the emitted cosines match
+    // bit-for-bit
+    val verified = (if (floatInput)
+        joinedCand.as[(Long, Long, Array[Float], Array[Float])]
+          .mapPartitions(_.flatMap { case (idB, idA, va, vb) =>
+            var dot = 0.0; var na = 0.0; var nb = 0.0
+            var i = 0
+            while (i < va.length) {
+              val a = va(i).toDouble; val b = vb(i).toDouble
+              dot += a * b; na += a * a; nb += b * b; i += 1
+            }
+            val c = cosine6(dot, na, nb)
+            if (c >= threshold) Some((idA, idB, c)) else None
+          })
+      else
+        joinedCand.as[(Long, Long, Array[Double], Array[Double])]
+          .mapPartitions(_.flatMap { case (idB, idA, va, vb) =>
+            var dot = 0.0; var na = 0.0; var nb = 0.0
+            var i = 0
+            while (i < va.length) {
+              dot += va(i) * vb(i); na += va(i) * va(i); nb += vb(i) * vb(i); i += 1
+            }
+            val c = cosine6(dot, na, nb)
+            if (c >= threshold) Some((idA, idB, c)) else None
+          }))
+      .toDF("id_a", "id_b", "cosine")
       .localCheckpoint() // eager: lets the caches release deterministically
     // both counts are over materialized frames (cand is persisted and
     // already consumed; verified is checkpointed) — metadata-cheap actions

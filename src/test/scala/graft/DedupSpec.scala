@@ -372,6 +372,41 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(exact), "every LSH pair is exact-verified, so none can be spurious")
   }
 
+  test("float embeddings keep their 4-byte width yet emit bit-identical cosines") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // deterministic float corpus with planted near-dups (same shape as the
+    // recall spec, smaller): the float input drives the slim verify-join
+    // payload branch; casting the SAME data to array<double> drives the
+    // wide branch — IEEE float→double upcasts are exact, so the two runs
+    // must agree on every (pair, cosine) BIT-FOR-BIT, not approximately
+    def vec(i: Long): Array[Float] = {
+      var s = graft.ops.Hashing.splitmix64(0xF10A7L + i * 0x9E3779B97F4A7C15L)
+      Array.fill(16) {
+        s = graft.ops.Hashing.splitmix64(s)
+        (((s >>> 11).toDouble / (1L << 53).toDouble) * 2 - 1).toFloat
+      }
+    }
+    val rows = (0L until 400L).map { i =>
+      val v =
+        if (i % 7 == 3) vec(i - 1).zipWithIndex.map { case (x, j) =>
+          x + 1e-3f * ((i + j) % 4) }
+        else vec(i)
+      (i, v.toSeq)
+    }
+    val fdf = rows.toDF("vec_id", "embedding")
+    assert(fdf.schema("embedding").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType ===
+      org.apache.spark.sql.types.FloatType)
+    val ddf = fdf.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    def rowsOf(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val f = rowsOf(Dedup.embeddingCosinePairsLsh(fdf, "vec_id", "embedding", 0.98))
+    val dd = rowsOf(Dedup.embeddingCosinePairsLsh(ddf, "vec_id", "embedding", 0.98))
+    assert(f.nonEmpty, "fixture must plant pairs")
+    assert(f === dd, "float-width payload changed the emitted pairs/cosines")
+  }
+
   test("adaptive LSH geometry: total candidate volume stays linear, recall design point holds") {
     for (n <- Seq(100L, 1000L, 5000L, 20000L, 50000L, 65000L, 200000L,
         500000L, 1000000L, 2000000L)) {
