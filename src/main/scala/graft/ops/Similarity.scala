@@ -252,10 +252,18 @@ object Similarity {
         nearestCentroids(v, bcCentroids.value, nProbe).map(c => (c, id, v))
       }.toDF("cell", "query_id", "qv")
 
+    // score map-side, BEFORE any exchange: the broadcast join leaves
+    // candidates on the corpus partitions, cosine is computed there, and
+    // only (query_id, corpus_id, score) — 24 bytes — rides the dedup and
+    // ranking shuffles. Scoring after a distinct over (ids, qv, cv) rows
+    // would haul two full vectors per candidate through the exchange, the
+    // same payload disease the near-dup verify join had. Each corpus
+    // vector lives in exactly ONE cell, so a pair meets at most once and
+    // the distinct is a cheap safety net over narrow rows, not a dedup.
     val cand = assigned.join(broadcast(probed), "cell")
       .filter(col("query_id") =!= col("corpus_id"))
-      .select("query_id", "qv", "corpus_id", "cv").distinct()
       .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
+      .select("query_id", "corpus_id", "score").distinct()
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id").asc)
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -290,11 +298,17 @@ object Similarity {
         .toDF(id, vec, "band", out)
     val c = withBands(corpus, "corpus_id", "cv", "ckey")
     val q = withBands(queries, "query_id", "qv", "qkey")
+    // score map-side before the dedup: a pair colliding in several bands
+    // scores once per collision (cosine is deterministic, so the duplicate
+    // rows are identical and collapse in the distinct), but the exchange
+    // carries only (query_id, corpus_id, score) — re-scoring ≤ bands-1
+    // extra times costs ~dim multiplies each, far cheaper than shuffling
+    // two full vectors per candidate row
     val cand = c.join(broadcast(q),
         col("ckey") === col("qkey") && c("band") === q("band") &&
           col("query_id") =!= col("corpus_id"))
-      .select("query_id", "qv", "corpus_id", "cv").distinct()
       .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
+      .select("query_id", "corpus_id", "score").distinct()
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("corpus_id").asc)
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

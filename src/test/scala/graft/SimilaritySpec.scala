@@ -94,4 +94,40 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[Int]("rank") <= 5))
   }
+
+  test("IVF/LSH top-k: no exchange ever carries a vector column") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    // candidates are scored map-side on the corpus partitions (the query
+    // side is broadcast), so the dedup + ranking shuffles move only
+    // (query_id, corpus_id, score) — at 10^9 corpus vectors a distinct over
+    // rows still carrying qv/cv would shuffle the vectors themselves, the
+    // same payload disease the near-dup verify join had
+    for (df <- Seq(
+        Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5),
+        Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5))) {
+      df.collect() // finalize AQE so the inspected plan is the executed one
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // AQE wraps executed subtrees in QueryStageExec LEAVES (ResultQueryStage
+      // / ShuffleQueryStage), whose real plan hangs off `.plan`, invisible to
+      // a plain collect — recurse through them to reach every Exchange
+      def shuffles(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[ShuffleExchangeExec] = p.collect {
+        case e: ShuffleExchangeExec => Seq(e)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          shuffles(s.plan)
+      }.flatten
+      val exchanges = shuffles(plan)
+      assert(exchanges.nonEmpty, s"expected at least the ranking shuffle:\n$plan")
+      exchanges.foreach { e =>
+        val wide = e.output.filter(_.dataType.isInstanceOf[ArrayType])
+        assert(wide.isEmpty,
+          s"${e.nodeName} carries vector columns ${wide.map(_.name).mkString(",")}")
+      }
+    }
+  }
 }
