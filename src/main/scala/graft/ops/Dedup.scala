@@ -46,7 +46,13 @@ object Dedup {
     * factor. The model is VALIDATED by the scale bench at dim 64
     * (predicted/measured candidate inflation: 1.58/1.62 at 5k vectors,
     * 2.50/2.35 at 50k, 4.63/5.66 at 500k), which is why [[lshGeometry]]
-    * trusts it to size capacity when the caller provides `dim`. */
+    * trusts it to size capacity when the caller provides `dim`. Known
+    * residual: at the cap-bound (24 bits, 243 bands) point the measured
+    * inflation is ~9.8 vs the model's 6.2 — the quadratic Gaussian-tail
+    * approximation (and the exact N(0,1/d) integral, ~4.9) undershoots at
+    * large bits²/dim, where non-Gaussian tails of finite-dim cosines and
+    * cube-sampled hyperplanes compound per bit. Past saturation the
+    * per-run counters, not the model, are the authority. */
   private[graft] def dispersionInflation(bits: Int, dim: Int): Double =
     if (dim <= 0) 1.0
     else math.exp(math.pow(2.0 * bits / math.Pi, 2) / (2.0 * dim))
