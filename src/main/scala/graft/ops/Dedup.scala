@@ -38,6 +38,16 @@ object Dedup {
     1.0 - math.pow(1.0 - math.pow(p, bandBits), bands)
   }
 
+  /** Exact float→double upcast (IEEE lossless) — the ONE conversion the
+    * signature and verify loops share, so float-stored inputs run the same
+    * double-precision arithmetic paths bit-for-bit. */
+  private def upcast(v: Array[Float]): Array[Double] = {
+    val d = new Array[Double](v.length)
+    var i = 0
+    while (i < v.length) { d(i) = v(i).toDouble; i += 1 }
+    d
+  }
+
   /** Jensen dispersion inflation of RANDOM band collisions at finite
     * dimension: the pairwise cosine of independent vectors is dispersed
     * ≈ N(0, 1/dim), per-bit agreement p ≈ 1/2 + c/π for small |c|, so
@@ -52,10 +62,26 @@ object Dedup {
     * approximation (and the exact N(0,1/d) integral, ~4.9) undershoots at
     * large bits²/dim, where non-Gaussian tails of finite-dim cosines and
     * cube-sampled hyperplanes compound per bit. Past saturation the
-    * per-run counters, not the model, are the authority. */
+    * per-run counters, not the model, are the authority.
+    *
+    * The exponent is CLAMPED at 2 (inflation ≤ e² ≈ 7.39): the quadratic
+    * small-|c| expansion is validated only up to exponent ≈ 1.8 (24 bits at
+    * dim 64); at small dims it grows without bound (at dim ≤ 4 it even
+    * implies per-band collision probabilities above 1), and an unclamped
+    * solver would drive ANY low-dimension input straight to the bit/band
+    * caps — 5 832-bit signatures for a 1 000-vector dim-8 corpus. The clamp
+    * bounds the correction: ≤ log2(e²) ≈ 2.9 extra bits directly, ~4-5 at
+    * the solved fixpoint once the recall-driven band growth (×1.22 bands
+    * per bit) feeds back — e.g. (9,13) → (13,28) at 1 000 dim-8 vectors,
+    * spec-pinned. Outside the validated domain the TRUE inflation
+    * can exceed the clamp (at dim 8 the exact integral implies ~50× at 18
+    * bits — low-dim cosines genuinely collide wildly, which is the regime
+    * where sign-bit LSH stops separating anything); there the bucketCap
+    * fallback and the per-run counters remain the cost backstop, as ever. */
   private[graft] def dispersionInflation(bits: Int, dim: Int): Double =
     if (dim <= 0) 1.0
-    else math.exp(math.pow(2.0 * bits / math.Pi, 2) / (2.0 * dim))
+    else math.exp(math.min(
+      math.pow(2.0 * bits / math.Pi, 2) / (2.0 * dim), 2.0))
 
   /** The adaptive sign-bit LSH geometry for `n` vectors: (bandBits, bands)
     * solved jointly to a fixpoint (see [[embeddingCosinePairsLsh]] for the
@@ -520,14 +546,8 @@ object Dedup {
       }
     }
     val sigs = (if (floatInput)
-        vecs.as[(Long, Array[Float])].mapPartitions { it =>
-          hashPartition(it.map { case (id, v) =>
-            val d = new Array[Double](v.length)
-            var i = 0
-            while (i < v.length) { d(i) = v(i).toDouble; i += 1 }
-            (id, d)
-          })
-        }
+        vecs.as[(Long, Array[Float])].mapPartitions(it =>
+          hashPartition(it.map { case (id, v) => (id, upcast(v)) }))
       else vecs.as[(Long, Array[Double])].mapPartitions(hashPartition(_)))
       .toDF("id", "keys", "sort_key")
       // persisted: the bucket-size aggregation and the small/hot split
@@ -570,41 +590,36 @@ object Dedup {
     val candIds = cand.select(col("id_a").as("v_id"))
       .union(cand.select(col("id_b").as("v_id"))).distinct()
     val vecById = vecs.toDF("v_id", "v_vec").join(candIds, Seq("v_id"), "left_semi")
-    def cosine6(dot: Double, na: Double, nb: Double): Double =
-      if (na == 0 || nb == 0) 0.0
-      else BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val joinedCand = cand
       .join(vecById.withColumnRenamed("v_id", "id_a").withColumnRenamed("v_vec", "va"), "id_a")
       .join(vecById.withColumnRenamed("v_id", "id_b").withColumnRenamed("v_vec", "vb"), "id_b")
-    // the float branch upcasts per element inside the loop — the SHUFFLED
-    // pair payload (the join output above, two vectors per candidate pair)
-    // stays at the source's 4-byte width; accumulation order and rounding
-    // are identical to the double branch, so the emitted cosines match
-    // bit-for-bit
+    // ONE verify loop for both widths (a second hand-maintained copy could
+    // silently desynchronize and break the float/double bit-identity the
+    // spec pins): the float branch upcasts per element BEFORE the shared
+    // loop — exact, so accumulation is identical — while the SHUFFLED pair
+    // payload (the join output above, two vectors per candidate pair) stays
+    // at the source's 4-byte width
+    def verifyPartition(it: Iterator[(Long, Long, Array[Double], Array[Double])])
+        : Iterator[(Long, Long, Double)] = it.flatMap { case (idB, idA, va, vb) =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < va.length) {
+        dot += va(i) * vb(i); na += va(i) * va(i); nb += vb(i) * vb(i); i += 1
+      }
+      val c =
+        if (na == 0 || nb == 0) 0.0
+        else BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (c >= threshold) Some((idA, idB, c)) else None
+    }
     val verified = (if (floatInput)
         joinedCand.as[(Long, Long, Array[Float], Array[Float])]
-          .mapPartitions(_.flatMap { case (idB, idA, va, vb) =>
-            var dot = 0.0; var na = 0.0; var nb = 0.0
-            var i = 0
-            while (i < va.length) {
-              val a = va(i).toDouble; val b = vb(i).toDouble
-              dot += a * b; na += a * a; nb += b * b; i += 1
-            }
-            val c = cosine6(dot, na, nb)
-            if (c >= threshold) Some((idA, idB, c)) else None
-          })
+          .mapPartitions(it => verifyPartition(it.map { case (b, a, va, vb) =>
+            (b, a, upcast(va), upcast(vb))
+          }))
       else
         joinedCand.as[(Long, Long, Array[Double], Array[Double])]
-          .mapPartitions(_.flatMap { case (idB, idA, va, vb) =>
-            var dot = 0.0; var na = 0.0; var nb = 0.0
-            var i = 0
-            while (i < va.length) {
-              dot += va(i) * vb(i); na += va(i) * va(i); nb += vb(i) * vb(i); i += 1
-            }
-            val c = cosine6(dot, na, nb)
-            if (c >= threshold) Some((idA, idB, c)) else None
-          }))
+          .mapPartitions(verifyPartition(_)))
       .toDF("id_a", "id_b", "cosine")
       .localCheckpoint() // eager: lets the caches release deterministically
     // both counts are over materialized frames (cand is persisted and

@@ -13,10 +13,14 @@ import graft.ops.Dedup
   * run's [[Dedup.LshStats]] counters. */
 object EmbScaleProbe {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: EmbScaleProbe <nVecs> [bits bands]")
+    // a lone `bits` must NOT silently fall back to the adaptive solver — in
+    // a paired A/B measurement the output would be attributed to a geometry
+    // that never ran (the operator requires the same both-or-neither pin)
+    require(args.length == 1 || args.length == 3,
+      "usage: EmbScaleProbe <nVecs> [bits bands] — pin BOTH bits and bands, or neither")
     val n = args(0).toLong
     val (bits, bands) =
-      if (args.length >= 3) (args(1).toInt, args(2).toInt) else (-1, -1)
+      if (args.length == 3) (args(1).toInt, args(2).toInt) else (-1, -1)
     val spark = graft.SparkSessionFactory.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-emb-probe")
     try {

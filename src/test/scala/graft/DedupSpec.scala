@@ -474,6 +474,14 @@ class DedupSpec extends SparkSpec {
     // UNCORRECTED geometry measured at the same n)
     val (bb5, nb5) = Dedup.lshGeometry(500000L, dim = 64)
     assert(500000L * nb5 * Dedup.dispersionInflation(bb5, 64) > 32.0 * (1L << bb5))
+    // the exponent clamp keeps the model inside its validated domain: a
+    // low-dimension input must get a BOUNDED correction (the unclamped
+    // quadratic model implies per-band collision probabilities > 1 at
+    // dim <= 4 and would drive any small-dim corpus straight to the caps)
+    assert(Dedup.dispersionInflation(18, 8) === math.exp(2.0))
+    assert(Dedup.dispersionInflation(62, 64) === math.exp(2.0))
+    assert(Dedup.lshGeometry(1000L, dim = 0) === ((9, 13)))
+    assert(Dedup.lshGeometry(1000L, dim = 8) === ((13, 28)))
   }
 
   test("simhash hot bucket (planted boilerplate band) is capped, pairs bounded, recall traded visibly") {
