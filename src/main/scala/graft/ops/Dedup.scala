@@ -520,9 +520,15 @@ object Dedup {
     val totalBits = bandBits * nBands
     // shared signature loop over exact double upcasts; one instance per
     // partition (mapPartitions calls it once), so the hyperplane matrix is
-    // still built once per task
+    // still built once per task. NO per-row sort-key string: the full
+    // signature bit string (2·totalBits bytes of java chars — 11.7 KB/row
+    // at the cap geometry, the row-dominating cost this path used to build
+    // and persist for EVERY vector) is needed only by the usually-empty
+    // hot-bucket fallback, and it is exactly the band keys' bits
+    // concatenated in band order — derivable from `keys` with native
+    // string functions for the hot subset alone.
     def hashPartition(it: Iterator[(Long, Array[Double])])
-        : Iterator[(Long, Array[Long], String)] = {
+        : Iterator[(Long, Array[Long])] = {
       var planes: Array[Array[Double]] = null // built once per task
       it.map { case (id, v) =>
         if (v.length != expectedDim)
@@ -530,37 +536,33 @@ object Dedup {
             s"mixed embedding dimensions: id=$id has ${v.length}, expected $expectedDim")
         if (planes == null) planes = Similarity.hyperplanes(expectedDim, totalBits)
         val keys = new Array[Long](nBands)
-        val sortKey = new java.lang.StringBuilder(totalBits)
         var b = 0
         while (b < totalBits) {
           val hb = planes(b)
           var dot = 0.0
           var i = 0
           while (i < expectedDim) { dot += v(i) * hb(i); i += 1 }
-          val bit = if (dot >= 0) 1L else 0L
-          keys(b / bandBits) = (keys(b / bandBits) << 1) | bit
-          sortKey.append(if (bit == 1L) '1' else '0')
+          keys(b / bandBits) = (keys(b / bandBits) << 1) | (if (dot >= 0) 1L else 0L)
           b += 1
         }
-        (id, keys, sortKey.toString)
+        (id, keys)
       }
     }
     val sigs = (if (floatInput)
         vecs.as[(Long, Array[Float])].mapPartitions(it =>
           hashPartition(it.map { case (id, v) => (id, upcast(v)) }))
       else vecs.as[(Long, Array[Double])].mapPartitions(hashPartition(_)))
-      .toDF("id", "keys", "sort_key")
+      .toDF("id", "keys")
       // persisted: the bucket-size aggregation and the small/hot split
       // joins all read the banded fan-out, which would otherwise evaluate
       // the hyperplane hashing once per consumer — at scale the signatures are
       // bands×bandBits dot products each, the single biggest map-side cost.
-      // Persisting the COMPACT per-vector row (not the fan-out, whose
-      // sort_key string is duplicated per band) keeps storage O(n·sigBytes).
+      // Persisting the COMPACT per-vector row (id + bands longs, no sort
+      // string) keeps storage O(n·bands·8B).
       .persist()
-    // the fan-out carries ONLY (id, band, key): the full-signature sort key
-    // (bands×bandBits chars — the row-dominating column) is needed only by
-    // the hot-bucket fallback, so it is joined back from the persisted sigs
-    // for that (usually empty) subset instead of riding every banded row
+    // the fan-out carries ONLY (id, band, key): the hot-bucket fallback's
+    // full-signature sort string is derived from the persisted `keys` for
+    // that (usually empty) subset instead of riding every banded row
     // through the size aggregation and self-join exchanges
     val banded = sigs.select(col("id"), posexplode(col("keys")))
       .toDF("id", "band", "key")
@@ -578,9 +580,15 @@ object Dedup {
       if (split.hotEmpty) smallPairs.limit(0) // driver-side probe; no rank jobs
       else Neighborhood.sortedNeighborhoodPairs(
           split.hotSubset
-            .join(sigs.select(col("id"), col("sort_key")), "id")
-            .select(xxhash64(col("band"), col("key")).as("bucket"),
-              col("id"), col("sort_key").as("sort")), neighborWindow)
+            .join(sigs, "id")
+            // the sort string IS the signature's bits in band order (the
+            // hashing loop fills each band key MSB-first in bit order), so
+            // it reconstructs exactly from the band keys — zero-padded
+            // binary per key, concatenated; native functions, hot rows only
+            .select(xxhash64(col("band"), col("key")).as("bucket"), col("id"),
+              array_join(transform(col("keys"),
+                k => lpad(bin(k), bandBits, "0")), "").as("sort")),
+          neighborWindow)
         .select(col("src").as("id_a"), col("dst").as("id_b"))
     // persisted: candIds' union reads cand twice and the verify join once
     val cand = smallPairs.unionByName(bigPairs).distinct().persist()
