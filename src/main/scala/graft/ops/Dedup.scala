@@ -581,13 +581,14 @@ object Dedup {
       else Neighborhood.sortedNeighborhoodPairs(
           split.hotSubset
             .join(sigs, "id")
-            // the sort string IS the signature's bits in band order (the
-            // hashing loop fills each band key MSB-first in bit order), so
-            // it reconstructs exactly from the band keys — zero-padded
-            // binary per key, concatenated; native functions, hot rows only
+            // the keys array ITSELF is the sort key: fixed-length,
+            // MSB-first-filled, nonnegative longs compare element-wise
+            // exactly like the signature's bit string in band order (the
+            // Hamming-local order the fallback needs), with no per-row
+            // string materialization — ~3× fewer bytes through the rank
+            // exchange than a rebuilt binary string
             .select(xxhash64(col("band"), col("key")).as("bucket"), col("id"),
-              array_join(transform(col("keys"),
-                k => lpad(bin(k), bandBits, "0")), "").as("sort")),
+              col("keys").as("sort")),
           neighborWindow)
         .select(col("src").as("id_a"), col("dst").as("id_b"))
     // persisted: candIds' union reads cand twice and the verify join once

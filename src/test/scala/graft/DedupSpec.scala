@@ -326,8 +326,9 @@ class DedupSpec extends SparkSpec {
     import spark.implicits._
     // 300 tiny perturbations of one vector: every band bucket holds all of
     // them, far above bucketCap=50, so the SMALL path sees nothing and the
-    // sorted-neighborhood fallback (which joins the sort key back from the
-    // signature table) must carry all the pair evidence
+    // sorted-neighborhood fallback (which sorts hot rows by the persisted
+    // band-keys array — element-wise long order ≡ the signature's bit
+    // order) must carry all the pair evidence
     val base = Array.tabulate(8)(i => math.sin(i + 1.0).toFloat)
     val rows = (0L until 300L).map { i =>
       (i, base.zipWithIndex.map { case (x, j) => x + 1e-4f * ((i + j) % 7) }.toSeq)
