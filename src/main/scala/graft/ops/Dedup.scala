@@ -534,7 +534,7 @@ object Dedup {
         if (v.length != expectedDim)
           throw new IllegalArgumentException(
             s"mixed embedding dimensions: id=$id has ${v.length}, expected $expectedDim")
-        if (planes == null) planes = Similarity.hyperplanes(expectedDim, totalBits)
+        if (planes == null) planes = Similarity.sharedHyperplanes(expectedDim, totalBits)
         val keys = new Array[Long](nBands)
         var b = 0
         while (b < totalBits) {

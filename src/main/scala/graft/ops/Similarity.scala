@@ -110,6 +110,24 @@ object Similarity {
     Array.tabulate(bits)(b =>
       Array.tabulate(dim)(i => math.sin((i + 1.0) * ((b + 1) * 12.9898) + 78.233)))
 
+  /** Executor-JVM-shared [[hyperplanes]] cache for hot hashing loops. The
+    * matrix is a deterministic constant per (dim, bits) but was built once
+    * PER TASK — ~3 MB of tabulated sin() at the embedding-LSH cap geometry.
+    * Sharing one read-only copy per JVM removes that per-task build; on the
+    * 500k-vector probe (long tasks, build amortized) wall-time was measured
+    * NEUTRAL, so this is allocation/latency hygiene that pays in
+    * short-task regimes (many small partitions), not a throughput claim.
+    * Deterministic + read-only, so a computeIfAbsent race is harmless; the
+    * cache is capped at 16 geometries (a job uses a handful) — past that,
+    * new geometries build per call rather than evicting under concurrency. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+  def sharedHyperplanes(dim: Int, bits: Int): Array[Array[Double]] = {
+    val k = (dim, bits)
+    if (planeCache.size >= 16 && !planeCache.containsKey(k)) hyperplanes(dim, bits)
+    else planeCache.computeIfAbsent(k, _ => hyperplanes(dim, bits))
+  }
+
   /** Plain-Scala twin of [[signBits]] (identical hyperplanes and bit layout)
     * for hot mapPartitions paths where per-row primitive loops beat the
     * interpreted higher-order-function expression. Pass a precomputed
