@@ -572,6 +572,11 @@ object Dedup {
     val split = splitHotBuckets(banded, "band", "key", bucketCap,
       persistSizes = false)
 
+    // the bucket self-join stays SORT-MERGE deliberately: a shuffle-hash
+    // build side here is a full partition of the bands·n fan-out (~4M rows
+    // per partition at 500k×243) and was MEASURED to exhaust execution
+    // memory ("not enough memory to build hash map"), while SMJ's sort
+    // spills gracefully
     val smallPairs = split.small.as("a").join(split.small.as("b"),
         col("a.key") === col("b.key") && col("a.band") === col("b.band") &&
           col("a.id") < col("b.id"))
@@ -599,6 +604,10 @@ object Dedup {
     val candIds = cand.select(col("id_a").as("v_id"))
       .union(cand.select(col("id_b").as("v_id"))).distinct()
     val vecById = vecs.toDF("v_id", "v_vec").join(candIds, Seq("v_id"), "left_semi")
+    // join strategy left to Catalyst/AQE deliberately: a shuffle_hash hint
+    // on the vector build side was MEASURED paired in one window (90.9 vs
+    // 89.7 s at 500k×(24,243)) — neutral, the stage is exchange-IO-bound,
+    // not sort-bound — so the hint bought complexity without time
     val joinedCand = cand
       .join(vecById.withColumnRenamed("v_id", "id_a").withColumnRenamed("v_vec", "va"), "id_a")
       .join(vecById.withColumnRenamed("v_id", "id_b").withColumnRenamed("v_vec", "vb"), "id_b")

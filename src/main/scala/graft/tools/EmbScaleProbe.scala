@@ -23,6 +23,22 @@ object EmbScaleProbe {
       if (args.length == 3) (args(1).toInt, args(2).toInt) else (-1, -1)
     val spark = graft.SparkSessionFactory.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt, "graft-emb-probe")
+    // SPARK_GRAFT_PROBE_STAGES=1: print one JSON line per completed stage
+    // (callsite name + wall seconds + task count) — the phase decomposition
+    // of the operator (hashing vs fan-out aggregation vs verify join) with
+    // no product-code instrumentation
+    if (sys.env.contains("SPARK_GRAFT_PROBE_STAGES")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val ms = (for { s <- i.submissionTime; c <- i.completionTime } yield c - s)
+            .getOrElse(0L)
+          println(f"""{"stage":${i.stageId},"sec":${ms / 1000.0}%.1f,""" +
+            f""""tasks":${i.numTasks},"name":"${i.name.replace('"', '\'').take(90)}"}""")
+        }
+      })
+    }
     try {
       val dir = java.nio.file.Files.createTempDirectory("graft-emb-probe").toString
       try {
