@@ -469,6 +469,14 @@ object Dedup {
     * [[embeddingCosinePairs]] exhaustively on bounded inputs when exactness
     * is required). Explicit `bits`/`bands` pin the geometry.
     *
+    * `broadcastVerifyBytes`: when the vector table's estimated bytes
+    * (n·dim·width, conservative) fit under this bound, the exact-cosine
+    * verify join BROADCASTS the candidate-member vectors so the ~16n
+    * candidate-pair rows never shuffle — the dominant exchange of the
+    * whole operator once candidates are linear. Past the bound the join
+    * stays shuffled (a 10^9-vector corpus cannot ship its vectors whole);
+    * 0 disables broadcasting entirely.
+    *
     * `onStats` (when provided) receives the solved geometry plus measured
     * candidate/verified-pair counts — the harness hook that lets a scale
     * bench PROVE the linear-candidate claim instead of narrating it. The
@@ -477,6 +485,7 @@ object Dedup {
       threshold: Double, bits: Int = -1, bands: Int = -1,
       bucketCap: Int = 2000, neighborWindow: Int = 8,
       maxBits: Int = 24, maxBands: Int = 256,
+      broadcastVerifyBytes: Long = 256L << 20,
       onStats: Option[LshStats => Unit] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -603,11 +612,20 @@ object Dedup {
     // ascending-index accumulation like the exact path)
     val candIds = cand.select(col("id_a").as("v_id"))
       .union(cand.select(col("id_b").as("v_id"))).distinct()
-    val vecById = vecs.toDF("v_id", "v_vec").join(candIds, Seq("v_id"), "left_semi")
-    // join strategy left to Catalyst/AQE deliberately: a shuffle_hash hint
-    // on the vector build side was MEASURED paired in one window (90.9 vs
-    // 89.7 s at 500k×(24,243)) — neutral, the stage is exchange-IO-bound,
-    // not sort-bound — so the hint bought complexity without time
+    // the stage decomposition priced the verify join at ~41 s of an ~80 s
+    // run, exchange-IO-bound: the SECOND shuffled join repartitions every
+    // (pair, va) row — ~16n rows × a full vector — by id_b (~5 GB at
+    // 500k×(24,243)). A shuffle_hash hint measured NEUTRAL (90.9 vs 89.7 s
+    // paired — the sort was never the cost, the exchange is), so instead:
+    // when the candidate-member vector table fits a broadcast (size
+    // estimated from n·dim·width, conservative since candIds only shrinks
+    // it), broadcast it into BOTH joins and the pair side never shuffles at
+    // all. Past the threshold the shape falls back to the shuffled join —
+    // a 10^9-vector corpus can never ship its vector table whole.
+    val vecByIdRaw = vecs.toDF("v_id", "v_vec").join(candIds, Seq("v_id"), "left_semi")
+    val vecBytesEst = n * (expectedDim.toLong * (if (floatInput) 4L else 8L) + 32L)
+    val vecById =
+      if (vecBytesEst <= broadcastVerifyBytes) broadcast(vecByIdRaw) else vecByIdRaw
     val joinedCand = cand
       .join(vecById.withColumnRenamed("v_id", "id_a").withColumnRenamed("v_vec", "va"), "id_a")
       .join(vecById.withColumnRenamed("v_id", "id_b").withColumnRenamed("v_vec", "vb"), "id_b")
