@@ -308,10 +308,23 @@ object Dedup {
     val split = splitHotBuckets(banded, "band", "bucket", bucketCap,
       persistSizes = onStats.isDefined)
 
-    val smallPairs = split.small.as("a").join(split.small.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.band") === col("b.band") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+    // small-bucket pairs via ONE grouped aggregation instead of a sort-merge
+    // self-join (same rewrite as the embedding path): the fan-out shuffles
+    // once, each bucket's member list is bounded by bucketCap by
+    // construction, and the pair multiset is identical to the
+    // a.doc_id < b.doc_id join
+    val smallPairs = split.small
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .select(col("ids")).as[Seq[Long]]
+      .flatMap { ids =>
+        val a = ids.toArray
+        java.util.Arrays.sort(a)
+        for {
+          i <- (0 until a.length - 1).iterator
+          j <- (i + 1 until a.length).iterator
+        } yield (a(i), a(j))
+      }.toDF("src", "dst")
 
     val bigPairs =
       if (split.hotEmpty) smallPairs.limit(0) // driver-side probe; no rank jobs
@@ -581,15 +594,27 @@ object Dedup {
     val split = splitHotBuckets(banded, "band", "key", bucketCap,
       persistSizes = false)
 
-    // the bucket self-join stays SORT-MERGE deliberately: a shuffle-hash
-    // build side here is a full partition of the bands·n fan-out (~4M rows
-    // per partition at 500k×243) and was MEASURED to exhaust execution
-    // memory ("not enough memory to build hash map"), while SMJ's sort
-    // spills gracefully
-    val smallPairs = split.small.as("a").join(split.small.as("b"),
-        col("a.key") === col("b.key") && col("a.band") === col("b.band") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // small-bucket pairs via ONE grouped aggregation instead of a self-join:
+    // a sort-merge self-join sorts the bands·n fan-out twice (its shuffle is
+    // reused, the sorts are not), and a shuffle-hash build side was MEASURED
+    // to exhaust execution memory (a build side is a whole ~4M-row
+    // partition). Grouping on the bucket key shuffles the fan-out once and
+    // streams each bucket's pairs from an in-memory id list that is BOUNDED
+    // BY CONSTRUCTION: split.small holds only buckets ≤ bucketCap members
+    // (≤ 2000 longs = 16 KB), the hot rest goes to the sorted-neighborhood
+    // fallback below. Pair multiset identical to the a.id < b.id self-join.
+    val smallPairs = split.small
+      .groupBy(col("band"), col("key"))
+      .agg(collect_list(col("id")).as("ids"))
+      .select(col("ids")).as[Seq[Long]]
+      .flatMap { ids =>
+        val a = ids.toArray
+        java.util.Arrays.sort(a)
+        for {
+          i <- (0 until a.length - 1).iterator
+          j <- (i + 1 until a.length).iterator
+        } yield (a(i), a(j))
+      }.toDF("id_a", "id_b")
     val bigPairs =
       if (split.hotEmpty) smallPairs.limit(0) // driver-side probe; no rank jobs
       else Neighborhood.sortedNeighborhoodPairs(
@@ -925,14 +950,24 @@ object Dedup {
       .toDF("doc_id", "sim", "band", "key")
     val split = splitHotBuckets(banded, "band", "key", bucketCap,
       persistSizes = onStats.isDefined)
-    // the small (normal) path carries both signatures through the join, so
-    // the Hamming distance is a codegen'd bit_count on the joined row —
-    // no join-back, and the gate runs BEFORE the distinct() shuffle
-    val smallCand = split.small.as("a").join(split.small.as("b"),
-        col("a.key") === col("b.key") && col("a.band") === col("b.band") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+    // the small (normal) path: ONE grouped aggregation instead of a
+    // sort-merge self-join (same rewrite as the embedding/minhash paths) —
+    // each bucket's (doc_id, sim) members are bounded by bucketCap by
+    // construction, the Hamming distance is a Long.bitCount in the pair
+    // loop, and the gate still runs BEFORE the distinct() shuffle
+    val smallCand = split.small
+      .groupBy(col("band"), col("key"))
+      .agg(collect_list(struct(col("doc_id").as("_1"), col("sim").as("_2")))
+        .as("members"))
+      .select(col("members")).as[Seq[(Long, Long)]]
+      .flatMap { members =>
+        val a = members.toArray.sortBy(_._1)
+        for {
+          i <- (0 until a.length - 1).iterator
+          j <- (i + 1 until a.length).iterator
+        } yield (a(i)._1, a(j)._1,
+          java.lang.Long.bitCount(a(i)._2 ^ a(j)._2)) // Int, like bit_count
+      }.toDF("id_a", "id_b", "hamming")
     // hot buckets: sorted-neighborhood over the full signature as a binary
     // string (bin() of a negative long is its 64-bit two's-complement form,
     // so lexicographic order IS unsigned-integer order); the signatures are
