@@ -807,9 +807,27 @@ object Dedup {
       }
     val rare = freq.filter(col("df_") <= cap).select("fp")
     val kept = fps.join(rare, Seq("fp"), "left_semi")
-    val out = kept.as("a").join(kept.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    // per-fingerprint pairs via ONE grouped aggregation instead of a
+    // sort-merge self-join (the same rewrite as the banded near-dup paths):
+    // each fingerprint's doc list is bounded by the EFFECTIVE df cap — the
+    // budget-solved value (e.g. 10 at 1M docs) or maxDocFreq — so the
+    // collected list is small by construction; with both caps disabled the
+    // pair volume is the caller's explicit exactness choice and blows up
+    // in output rows either way (the join had the same shape). Pair
+    // multiset identical to the a.doc_id < b.doc_id join.
+    val out = kept
+      .groupBy(col("fp"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .select(col("ids")).as[Seq[Long]]
+      .flatMap { ids =>
+        val a = ids.toArray
+        java.util.Arrays.sort(a)
+        for {
+          i <- (0 until a.length - 1).iterator
+          j <- (i + 1 until a.length).iterator
+        } yield (a(i), a(j))
+      }.toDF("id_a", "id_b")
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
       .localCheckpoint()
