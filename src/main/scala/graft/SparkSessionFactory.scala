@@ -28,6 +28,11 @@ object SparkSessionFactory {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // list ≤128 partition dirs on the driver: the default threshold (32)
+      // launches a distributed listing JOB for the 64-bucket state tables,
+      // which costs more than the listing itself at any deployment size —
+      // the job path exists for thousands of object-store paths, not dozens
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "128")
       // bucketed-table warehouse (co-located joins); a deployment overrides
       // this with its real metastore/warehouse
       .config("spark.sql.warehouse.dir", scratchDir("graft-warehouse"))

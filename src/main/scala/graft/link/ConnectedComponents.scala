@@ -44,8 +44,14 @@ object ConnectedComponents {
     // materialized edges, not the original — possibly kernel-bearing — plan)
     val canonical = canon(edges).localCheckpoint()
 
-    if (localThreshold > 0 && canonical.count() <= localThreshold) {
-      val es = canonical.as[(Long, Long)].collect()
+    // size probe and edge fetch in ONE action: a bounded take off the
+    // checkpointed edges decides the strategy (es is only read when small,
+    // and the limit caps driver memory at localThreshold+1 rows)
+    val es = if (localThreshold > 0)
+      canonical.limit(math.min(localThreshold + 1, Int.MaxValue.toLong).toInt)
+        .as[(Long, Long)].collect()
+    else Array.empty[(Long, Long)]
+    if (localThreshold > 0 && es.length <= localThreshold) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x

@@ -88,39 +88,103 @@ object TextStats {
 
   /** Top-k characteristic terms per document by TF-IDF.
     *
-    * Scale shape (each stage bounded, no skew traps):
-    *  - tokenize + explode: map-side, whitespace terms, codegen'd
-    *  - `tf` agg shuffles on (doc, term) with map-side partial combine
+    * Scale shape (long-id path — every internal caller; each stage bounded,
+    * no skew traps):
+    *  - per-doc term frequencies are computed MAP-SIDE from the token array
+    *    (one O(tokens) pass per doc) — a document's tokens already live in
+    *    its own row, so shuffling the (doc, term) table just to count it
+    *    (the previous groupBy) moved the whole term table for nothing
     *  - `df` agg shuffles on term — output is vocabulary-sized, partial agg
     *    keeps the exchange at |vocab|, not |tokens|
-    *  - the tf⋈df join shuffles on term; AQE broadcasts df when the
-    *    vocabulary is small
-    *  - the per-doc top-k window re-shuffles on doc id; each partition is
-    *    one document's DISTINCT terms (bounded by doc length — no hot key
-    *    can exceed it)
+    *  - the tf⋈df join BROADCASTS the vocabulary side (`broadcastVocab`,
+    *    default on: Heaps-law vocabularies are far smaller than the corpus;
+    *    a deployment with a pathological term space opts out), so the big
+    *    (doc, term) side never exchanges on term and a stopword's
+    *    corpus-sized row set cannot become a hot join key
+    *  - ranking: a per-partition BOUNDED HEAP (k per doc, the
+    *    [[Similarity.bruteForceTopK]] discipline) keeps only top-k
+    *    candidates, so the final exact ranking window exchanges SURVIVORS
+    *    only (≤ k · partitions-per-doc rows), never the full term table
     * `N` (corpus size = valid docs, token-less ones included) joins in
     * LAZILY as a 1-row aggregate cross join — no eager driver count, the
     * operator composes like any other transformation (the count pass is a
     * zero-column scan, metadata-cheap at any scale). Ranks are fully
     * deterministic: ties on the rounded score break by term. Null ids/texts
-    * are dropped/empty. */
+    * are dropped/empty. A non-long id column falls back to the generic
+    * window formulation (same rows, id type preserved). */
   def tfidfTopK(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, k: Int = 5): org.apache.spark.sql.DataFrame = {
+      textCol: String, k: Int = 5,
+      broadcastVocab: Boolean = true): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k must be >= 1: $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val valid = docs.filter(col(idCol).isNotNull)
     val corpusN = valid.agg(count(lit(1)).as("corpus_n"))
-    val toks = valid
-      .select(col(idCol),
-        explode(filter(lowerTokens(coalesce(col(textCol), lit(""))),
-          t => length(t) > 0)).as("term"))
-    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(dfreq, "term").crossJoin(corpusN)
-      .withColumn("tfidf",
-        round(col("tf") * (log((col("corpus_n") + 1.0) / (col("df") + 1.0)) + 1.0), 4))
+    val toksCol = filter(lowerTokens(coalesce(col(textCol), lit(""))),
+      t => length(t) > 0)
+    def tfidfCol = round(
+      col("tf") * (log((col("corpus_n") + 1.0) / (col("df") + 1.0)) + 1.0), 4)
     val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("term"))
-    scored.withColumn("rank", row_number().over(w))
+
+    if (valid.schema(idCol).dataType != org.apache.spark.sql.types.LongType) {
+      // generic-id fallback: the original declarative formulation
+      val toks = valid.select(col(idCol), explode(toksCol).as("term"))
+      val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      return tf.join(dfreq, "term").crossJoin(corpusN)
+        .withColumn("tfidf", tfidfCol)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"), col("rank"))
+    }
+
+    val tf = valid.select(col(idCol).as("__id"), toksCol.as("__toks"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (id, ts) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        ts.foreach(t => m.update(t, m.getOrElse(t, 0L) + 1L))
+        m.iterator.map { case (t, c) => (id, t, c) }
+      }.toDF(idCol, "term", "tf")
+    // df per term from the per-doc DISTINCT terms (array_distinct is the
+    // map-side twin of "one tf row per (doc, term)"); sharing the tf branch
+    // instead would re-run the flatMap once per consumer — this branch stays
+    // whole-stage-codegen and reuses the upstream exchange when one exists
+    val dfreqRaw = valid.select(explode(array_distinct(toksCol)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val dfreq = if (broadcastVocab) broadcast(dfreqRaw) else dfreqRaw
+    val scored = tf.join(dfreq, "term").crossJoin(corpusN)
+      .withColumn("tfidf", tfidfCol)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"))
+    // per-partition bounded top-k (worst element at the heap head, ordering
+    // mirroring the final (tfidf desc, term asc) rank): the global top-k of
+    // every doc survives its partition's local top-k, so the window below
+    // is exact over survivors only
+    val partial = scored.as[(Long, String, Long, Long, Double)]
+      .mapPartitions { it =>
+        val worstFirst: Ordering[(Double, String, Long, Long)] =
+          (a, b) => {
+            val c = java.lang.Double.compare(b._1, a._1) // lower score = worse
+            if (c != 0) c else a._2.compareTo(b._2) // higher term = worse
+          }
+        val heaps = scala.collection.mutable.HashMap
+          .empty[Long, scala.collection.mutable.PriorityQueue[(Double, String, Long, Long)]]
+        it.foreach { case (id, term, tfv, dfv, s) =>
+          val h = heaps.getOrElseUpdate(id,
+            scala.collection.mutable.PriorityQueue.empty(worstFirst))
+          if (h.size < k) h.enqueue((s, term, tfv, dfv))
+          else {
+            val worst = h.head
+            if (s > worst._1 || (s == worst._1 && term < worst._2)) {
+              h.dequeue(); h.enqueue((s, term, tfv, dfv))
+            }
+          }
+        }
+        heaps.iterator.flatMap { case (id, h) =>
+          h.iterator.map(e => (id, e._2, e._3, e._4, e._1))
+        }
+      }.toDF(idCol, "term", "tf", "df", "tfidf")
+    partial.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"), col("rank"))
   }

@@ -220,37 +220,70 @@ object StreamLink {
     val exBands = bandState(spark, stateDir, batchId, pBuckets)
 
     // ---- candidate pairs under the hot-band guard (same discipline as
-    // Linker.candidateEdgesLazy): the (bucket-pruned) state side is
-    // semi-joined to the batch's exact band values — candidates only —
-    // then band values whose combined new ∪ candidate-existing membership
-    // exceeds `bucketCap` switch from the all-pairs join to bounded
-    // sorted-neighborhood pairing over the norm — one templated surface
-    // family in the state must not make every later micro-batch quadratic
+    // Dedup.splitHotBuckets + grouped pairing, the r6 rewrite of the batch
+    // dedup family): the (bucket-pruned) state side is semi-joined to the
+    // batch's exact band values — candidates only — then band values whose
+    // combined new ∪ candidate-existing membership exceeds `bucketCap`
+    // switch from grouped all-pairs to bounded sorted-neighborhood pairing
+    // over the norm — one templated surface family in the state must not
+    // make every later micro-batch quadratic
     val bucketCap = 1000
     val exCand = exBands.join(newBands.select("bucket").distinct(), Seq("bucket"), "left_semi")
+    // persisted: the hot-bucket size probe and the pairing both read it; the
+    // probe's driver collect materializes it so pairing reuses the cache
     val tagged = newBands
       .select(col("bucket"), col("id"), col("norm"), lit(true).as("is_new"),
         lit(null).cast("long").as("cid"), lit(null).cast("string").as("rep"))
       .unionByName(exCand.select(col("bucket"), col("id"), col("norm"),
         lit(false).as("is_new"), col("canonical_id").as("cid"),
         col("canonical_surface").as("rep")))
-    val sizes = tagged.groupBy("bucket").agg(count(lit(1)).as("bn"))
-    val sized = tagged.join(sizes, "bucket").persist()
-    val small = sized.filter(col("bn") <= bucketCap)
-    val big = sized.filter(col("bn") > bucketCap)
-    // every emitted pair is anchored on a NEW surface; new-new pairs once
-    // (id order), new-existing pairs regardless of id order
-    val smallPairs = small.as("a").join(small.as("b"),
-        col("a.bucket") === col("b.bucket") &&
-          (col("a.id") < col("b.id") || (col("a.is_new") && !col("b.is_new"))))
-      .filter(col("a.is_new"))
-      .select(col("a.id").as("nid"), col("a.norm").as("na"),
-        col("b.id").as("oid"), col("b.norm").as("nb"),
-        col("b.is_new").as("other_new"), col("b.cid").as("ex_cid"),
-        col("b.rep").as("ex_rep"))
+      .persist()
+    // HOT bucket list as a BOUNDED driver collect (≤ fanout/bucketCap rows;
+    // the limit caps driver memory and over-limit fails loudly): the
+    // small/hot split becomes a broadcast filter instead of a size-attach
+    // join, and the hot-path probe is a driver-side emptiness check instead
+    // of an executeTake job over the whole candidate plan
+    val hotLimit = 2000000
+    val hot = tagged.groupBy("bucket").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > bucketCap).select("bucket")
+      .limit(hotLimit + 1).as[Long].collect()
+    require(hot.length <= hotLimit,
+      s"over $hotLimit hot band values in one micro-batch (cap $bucketCap) — " +
+        "pathological banding; raise bucketCap or split the batch")
+    val hotDf = spark.createDataset(hot.toSeq).toDF("bucket")
+    val small =
+      if (hot.isEmpty) tagged
+      else tagged.join(broadcast(hotDf), Seq("bucket"), "left_anti")
+    // small-bucket pairs via ONE grouped aggregation (member lists bounded
+    // by bucketCap by construction) instead of the sizes-attach join + sort-
+    // merge self-join — the pair multiset is identical: every pair anchors
+    // on a NEW surface; new-new pairs once (id order), new-existing pairs
+    // regardless of id order
+    val smallPairs = small
+      .groupBy("bucket")
+      .agg(collect_list(struct(col("id"), col("norm"), col("is_new"),
+        col("cid"), col("rep"))).as("ms"))
+      .select(col("ms"))
+      .as[Seq[(Long, String, Boolean, Option[Long], Option[String])]]
+      .flatMap { ms =>
+        val news = ms.filter(_._3).sortBy(_._1).toArray
+        val olds = ms.filterNot(_._3).toArray
+        val nn = for {
+          i <- (0 until news.length).iterator
+          j <- (i + 1 until news.length).iterator
+          if news(i)._1 != news(j)._1 // equal-id copies never self-pair
+        } yield (news(i)._1, news(i)._2, news(j)._1, news(j)._2,
+          true, None: Option[Long], None: Option[String])
+        val ne = for {
+          n <- news.iterator
+          e <- olds.iterator
+        } yield (n._1, n._2, e._1, e._2, false, e._4, e._5)
+        nn ++ ne
+      }.toDF("nid", "na", "oid", "nb", "other_new", "ex_cid", "ex_rep")
     val bigPairs =
-      if (big.isEmpty) smallPairs.limit(0)
+      if (hot.isEmpty) smallPairs.limit(0) // driver-side probe; no rank jobs
       else {
+        val big = tagged.join(broadcast(hotDf), Seq("bucket"), "left_semi")
         val meta2 = tagged.select("id", "norm", "is_new", "cid", "rep").distinct()
         def side(pfx: String) = meta2.select(col("id").as(pfx),
           col("norm").as(s"${pfx}_norm"), col("is_new").as(s"${pfx}_new"),
@@ -270,13 +303,17 @@ object StreamLink {
               lit(false).as("other_new"), col("src_cid").as("ex_cid"),
               col("src_rep").as("ex_rep")))
       }
-    val cand = smallPairs.unionByName(bigPairs)
+    // ONE distinct over the union (a pair can meet in several bands) instead
+    // of one per branch: for other_new rows the extra columns are constant
+    // nulls, so this is exactly the old nn-side dedup; the ne side may keep
+    // same-norm same-canonical duplicates (different oid) — verified
+    // identically and collapsed by ne's post-verify distinct, as before
+    val cand = smallPairs.unionByName(bigPairs).distinct()
 
     // Jaccard-verified edges among the batch's new surfaces (direction is
     // irrelevant — ConnectedComponents canonicalizes edges)
     val nn = cand.filter(col("other_new"))
       .select(col("nid").as("src"), col("oid").as("dst"), col("na"), col("nb"))
-      .distinct()
       .as[(Long, Long, String, String)]
       .flatMap { case (s, d, na, nb) =>
         if (jaccardOk(na, nb, shingleN, threshold)) Some((s, d)) else None
@@ -284,13 +321,15 @@ object StreamLink {
 
     // verified attachments: new surface → existing canonical component (the
     // incremental join this operator exists for)
+    // persisted: the assignment checkpoint AND the bridges write both read
+    // the adopt aggregation — without the cache the cand distinct + verify
+    // would re-run once per consumer
     val ne = cand.filter(!col("other_new"))
       .select(col("nid"), col("na"), col("nb"), col("ex_cid"), col("ex_rep"))
-      .distinct()
       .as[(Long, String, String, Long, String)]
       .flatMap { case (nid, na, nb, cid, rep) =>
         if (jaccardOk(na, nb, shingleN, threshold)) Some((nid, cid, rep)) else None
-      }.toDF("nid", "ex_cid", "ex_rep").distinct()
+      }.toDF("nid", "ex_cid", "ex_rep").distinct().persist()
 
     val comp = ConnectedComponents.run(nn)
     val withComp = newSurf
@@ -301,13 +340,18 @@ object StreamLink {
     // conflict rule: a component adopting ≥2 existing canonical ids takes
     // the MINIMUM; the others are recorded as bridges, never rewritten
     val neComp = ne.join(withComp.select(col("id").as("nid"), col("component")), "nid")
-    val adopt = neComp.groupBy("component")
-      .agg(min(struct(col("ex_cid").as("c"), col("ex_rep").as("r"))).as("m"))
+    // one aggregation carries BOTH the adopted minimum and the full distinct
+    // cid set per component (collect_set is bounded by the number of
+    // existing components one batch-component bridges), so the bridge
+    // ledger no longer needs its own distinct + join back onto adopt
+    val adoptAll = neComp.groupBy("component")
+      .agg(min(struct(col("ex_cid").as("c"), col("ex_rep").as("r"))).as("m"),
+        collect_set(col("ex_cid")).as("cids"))
+    val adopt = adoptAll
       .select(col("component"), col("m.c").as("adopt_cid"), col("m.r").as("adopt_rep"))
-    val bridges = neComp.select("component", "ex_cid").distinct()
-      .join(adopt, "component")
-      .filter(col("ex_cid") =!= col("adopt_cid"))
-      .select(col("adopt_cid").as("kept_id"), col("ex_cid").as("bridged_id"))
+    val bridges = adoptAll
+      .select(col("m.c").as("kept_id"), explode(col("cids")).as("bridged_id"))
+      .filter(col("bridged_id") =!= col("kept_id"))
       .distinct()
 
     // fresh components: representative = min (length, lexicographic), the
@@ -336,15 +380,6 @@ object StreamLink {
         case None =>
           df.write.mode("overwrite").parquet(s"$stateDir/$table/batch=$batchId")
       }
-    overwrite(assigned, "surfaces", Some(("sbucket", bucketOf(col("surface"), nB))))
-    overwrite(assigned.select("id", "norm", "canonical_id", "canonical_surface")
-      .as[(Long, String, Long, String)]
-      .flatMap { case (id, norm, cid, rep) =>
-        Linker.bandKeysOf(norm, shingleN = shingleN).map(b => (b, id, norm, cid, rep))
-      }.toDF("bucket", "id", "norm", "canonical_id", "canonical_surface"),
-      "bands", Some(("pbucket", bucketOf(col("bucket"), nB))))
-    overwrite(bridges, "bridges")
-
     // this batch's canonical (triple, url) provenance rows under the batch's
     // OWN resolution — the existing-state side is the bucket-pruned exSurf
     // semi-joined to the batch's surfaces (every subject/obj of this batch
@@ -361,14 +396,52 @@ object StreamLink {
       col("canonical_id").as("subjectId"), col("canonical_surface").as("subjectCanon"))
     val objRes = res.select(col("surface").as("obj"),
       col("canonical_id").as("objectId"), col("canonical_surface").as("objectCanon"))
-    overwrite(triples.toDF()
+    val provenance = triples.toDF()
       .join(subjRes, "subject").join(objRes, "obj")
       .select(col("subjectId"), col("subjectCanon").as("subject"), col("subjectType"),
         col("relation"), col("objectId"), col("objectCanon").as("obj"),
         col("objectType"), col("url"))
-      .distinct(), "triples")
-    sized.unpersist(); newBands.unpersist()
+      .distinct()
+    // the four state writes are mutually independent (each reads only the
+    // `assigned` checkpoint / cached ne / pruned state), so they run
+    // CONCURRENTLY: one write's straggler tail back-fills with the next
+    // write's tasks instead of leaving the scheduler idle (guide-§2.6 shape;
+    // job-description thread-locality keeps each labelled correctly)
+    concurrently(
+      () => overwrite(assigned, "surfaces",
+        Some(("sbucket", bucketOf(col("surface"), nB)))),
+      () => overwrite(assigned.select("id", "norm", "canonical_id", "canonical_surface")
+        .as[(Long, String, Long, String)]
+        .flatMap { case (id, norm, cid, rep) =>
+          Linker.bandKeysOf(norm, shingleN = shingleN).map(b => (b, id, norm, cid, rep))
+        }.toDF("bucket", "id", "norm", "canonical_id", "canonical_surface"),
+        "bands", Some(("pbucket", bucketOf(col("bucket"), nB)))),
+      () => overwrite(bridges, "bridges"),
+      () => overwrite(provenance, "triples"))
+    tagged.unpersist(); newBands.unpersist(); ne.unpersist()
   }
+
+  /** Run independent Spark actions concurrently and propagate the FIRST
+    * failure after all complete or fail — used for the per-batch state
+    * writes, whose jobs otherwise serialize their scheduler tails. */
+  private def concurrently(fs: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = writePool
+    Await.result(
+      Future.sequence(fs.map(f => Future(f()))), Duration.Inf): Unit
+  }
+
+  /** Small daemon pool for [[concurrently]] — 4 writes in flight is the most
+    * one batch submits. */
+  private lazy val writePool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(4,
+        (r: Runnable) => {
+          val t = new Thread(r, "streamlink-state-write")
+          t.setDaemon(true)
+          t
+        }))
 
   /** Streaming face: triples stream → per-micro-batch incremental linking. */
   def run(triples: Dataset[Triple], stateDir: String, checkpoint: String,
@@ -436,29 +509,32 @@ object StreamLink {
     val surf = surfacesDf
       .select("surface", "norm", "id", "canonical_id", "canonical_surface")
       .localCheckpoint() // surface write + band fan-out read it
-    // same one-file-per-bucket layout as processBatch's overwrite
-    surf.withColumn("sbucket", bucketOf(col("surface"), nB))
-      .repartition(col("sbucket"))
-      .write.mode("overwrite").partitionBy("sbucket")
-      .parquet(s"$outDir/surfaces/batch=-1")
-    surf.select("id", "norm", "canonical_id", "canonical_surface")
-      .as[(Long, String, Long, String)]
-      .flatMap { case (id, norm, cid, rep) =>
-        Linker.bandKeysOf(norm, shingleN = sh).map(b => (b, id, norm, cid, rep))
-      }.toDF("bucket", "id", "norm", "canonical_id", "canonical_surface")
-      .withColumn("pbucket", bucketOf(col("bucket"), nB))
-      .repartition(col("pbucket"))
-      .write.mode("overwrite").partitionBy("pbucket")
-      .parquet(s"$outDir/bands/batch=-1")
-    spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("kept_id", LongType),
-          StructField("bridged_id", LongType))))
-      .write.mode("overwrite").parquet(s"$outDir/bridges/batch=-1")
-    triplesDf
-      .select("subjectId", "subject", "subjectType", "relation",
-        "objectId", "obj", "objectType", "url")
-      .distinct()
-      .write.mode("overwrite").parquet(s"$outDir/triples/batch=-1")
+    // same one-file-per-bucket layout as processBatch's overwrite; the four
+    // snapshot writes are independent (all off the surf checkpoint / the
+    // caller's triples frame) and run concurrently like the per-batch writes
+    concurrently(
+      () => surf.withColumn("sbucket", bucketOf(col("surface"), nB))
+        .repartition(col("sbucket"))
+        .write.mode("overwrite").partitionBy("sbucket")
+        .parquet(s"$outDir/surfaces/batch=-1"),
+      () => surf.select("id", "norm", "canonical_id", "canonical_surface")
+        .as[(Long, String, Long, String)]
+        .flatMap { case (id, norm, cid, rep) =>
+          Linker.bandKeysOf(norm, shingleN = sh).map(b => (b, id, norm, cid, rep))
+        }.toDF("bucket", "id", "norm", "canonical_id", "canonical_surface")
+        .withColumn("pbucket", bucketOf(col("bucket"), nB))
+        .repartition(col("pbucket"))
+        .write.mode("overwrite").partitionBy("pbucket")
+        .parquet(s"$outDir/bands/batch=-1"),
+      () => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("kept_id", LongType),
+            StructField("bridged_id", LongType))))
+        .write.mode("overwrite").parquet(s"$outDir/bridges/batch=-1"),
+      () => triplesDf
+        .select("subjectId", "subject", "subjectType", "relation",
+          "objectId", "obj", "objectType", "url")
+        .distinct()
+        .write.mode("overwrite").parquet(s"$outDir/triples/batch=-1"))
   }
 }
