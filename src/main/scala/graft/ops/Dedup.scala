@@ -169,8 +169,17 @@ object Dedup {
     import spark.implicits._
     val sizes = banded.groupBy(bandCol, keyCol).agg(count(lit(1)).as("bucket_n"))
     val sizesM = if (persistSizes) sizes.persist() else sizes
+    // bounded collect (the Neighborhood 2M discipline): the limit caps
+    // driver memory BEFORE anything is fetched, and hitting it fails loudly
+    // instead of broadcasting a multi-GB hot list (worst case without the
+    // guard: O(fanoutRows/bucketCap) entries on a heavily duplicated corpus)
+    val hotLimit = 2000000
     val hot = sizesM.filter(col("bucket_n") > bucketCap)
-      .select(col(bandCol), col(keyCol)).as[(Int, Long)].collect()
+      .select(col(bandCol), col(keyCol))
+      .limit(hotLimit + 1).as[(Int, Long)].collect()
+    require(hot.length <= hotLimit,
+      s"over $hotLimit buckets exceed bucketCap=$bucketCap — pathological " +
+        "banding (near-constant keys?); raise bucketCap or re-key the fan-out")
     val hotDf = spark.createDataset(hot.toSeq).toDF(bandCol, keyCol)
     val small =
       if (hot.isEmpty) banded
@@ -539,6 +548,26 @@ object Dedup {
         require(bits % bands == 0 && bits / bands <= 63, "bandBits must fit a Long key")
         (bits / bands, bands)
       } else lshGeometry(n, maxBits, maxBands, dim = expectedDim)
+    // LOUD past-saturation regime (the r6 verdict's minimum ask): once the
+    // solver sits at the caps and the corpus exceeds the capacity they
+    // bought, bucket occupancy — and with it candidate volume — grows
+    // linearly in n/n_sat with only the counters as witness. Warn with the
+    // solved saturation point and the honest remedies so a 10^6+ dim-64 run
+    // cannot silently slide into the quadratic-occupancy regime. (A hard
+    // refuse would be wrong: the regime is degraded, not incorrect — every
+    // emitted pair is still exact-cosine verified.)
+    if (bits <= 0 && expectedDim > 0) {
+      val nSat = (math.pow(2.0, maxBits) * 32.0 /
+        (nBands * dispersionInflation(maxBits, expectedDim))).toLong
+      if (bandBits >= maxBits && n > nSat)
+        System.err.println(
+          f"[graft.Dedup] embedding LSH past saturation: n=$n > n_sat≈$nSat " +
+            f"at dim=$expectedDim (caps $maxBits bits × $maxBands bands). " +
+            f"Expected occupancy inflates ~${n.toDouble / nSat}%.1fx; " +
+            "candidates stay exact-verified but grow linearly in n/n_sat " +
+            "(watch LshStats.candidates). Remedies: raise maxBits/maxBands " +
+            "together, or hash-shard the corpus and run per-shard.")
+    }
     val totalBits = bandBits * nBands
     // shared signature loop over exact double upcasts; one instance per
     // partition (mapPartitions calls it once), so the hyperplane matrix is
@@ -815,6 +844,13 @@ object Dedup {
     // pair volume is the caller's explicit exactness choice and blows up
     // in output rows either way (the join had the same shape). Pair
     // multiset identical to the a.doc_id < b.doc_id join.
+    // MEMORY BOUND of the aggregation buffer: one list of ≤ cap longs, i.e.
+    // 8·min(cap, maxDocFreq) bytes per in-flight fingerprint. A caller who
+    // disables the budget (pairBudgetPerDoc = 0) AND raises maxDocFreq to
+    // df ≈ 10^7 puts ~80 MB in ONE buffer where the old join formulation
+    // would have spilled — that configuration is the explicit exactness
+    // opt-in documented above; the solved default keeps buffers at tens of
+    // bytes.
     val out = kept
       .groupBy(col("fp"))
       .agg(collect_list(col("doc_id")).as("ids"))

@@ -124,8 +124,20 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
   def sharedHyperplanes(dim: Int, bits: Int): Array[Array[Double]] = {
     val k = (dim, bits)
-    if (planeCache.size >= 16 && !planeCache.containsKey(k)) hyperplanes(dim, bits)
-    else planeCache.computeIfAbsent(k, _ => hyperplanes(dim, bits))
+    val cached = planeCache.get(k)
+    if (cached != null) cached
+    else {
+      val built = hyperplanes(dim, bits)
+      // cap enforced UNDER the lock (a bare size-check-then-insert raced:
+      // concurrent first builds of distinct geometries could grow the
+      // never-evicted cache past 16 entries); entries are deterministic, so
+      // callers that lose the race just use their own freshly built copy
+      planeCache.synchronized {
+        if (planeCache.size < 16) planeCache.putIfAbsent(k, built)
+      }
+      val now = planeCache.get(k)
+      if (now != null) now else built
+    }
   }
 
   /** Plain-Scala twin of [[signBits]] (identical hyperplanes and bit layout)

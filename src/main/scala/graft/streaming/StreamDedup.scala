@@ -142,20 +142,54 @@ object StreamDedup {
     out.result().iterator
   }
 
+  /** Plain-Scala twin of the batch combinatorial blocking
+    * ([[graft.ops.Dedup.simhashPairs]]): the (m − r)-subset keys of a
+    * 64-bit simhash under the SAME near-equal block widths. One key per
+    * table, table order = lexicographic subset order — a pure function of
+    * (sim, m, r), so keyed state lines up across restarts. Key values fold
+    * through splitmix64 (the [[graft.link.Linker.bandKeysOf]] discipline);
+    * they need not equal the batch join keys — only the GEOMETRY (which
+    * block subsets key a table) is shared, and that is what sets the
+    * collision volume. */
+  private[graft] def subsetKeys(sim: Long, m: Int, r: Int): Array[Long] = {
+    val base = 64 / m
+    val rem = 64 % m
+    val widths = Array.tabulate(m)(b => if (b < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    def block(b: Int): Long =
+      if (widths(b) == 64) sim
+      else (sim >>> offsets(b)) & ((1L << widths(b)) - 1)
+    (0 until m).combinations(m - r).zipWithIndex.map { case (s, i) =>
+      Hashing.splitmix64(s.foldLeft(i.toLong)((acc, b) => acc * 31 + block(b)))
+    }.toArray
+  }
+
   /** In-stream near-dup suppression at Hamming radius ≥ 1 — the streaming
     * twin of [[graft.ops.Dedup.simhashPairs]]' pigeonhole blocking. Each doc
-    * explodes to `maxHamming + 1` band keys ([[Hashing.simhashBandKeys]]);
-    * per-band keyed state holds the first [[SigCap]] distinct FULL 64-bit
-    * signatures seen for the value, and every later doc sharing the band
-    * gets a VERIFIED Hamming distance against all of them (an unverified
-    * shared-band key would false-suppress at the 2^-width collision rate —
-    * fatal at stream scale). Any pair within the radius shares at least one
-    * whole band (Manku WWW'07), so in-horizon recall at the radius holds
-    * whenever the earlier doc's signature is among the ≤ SigCap stored for
-    * some shared band value — i.e. guaranteed until a band value has seen
-    * more than SigCap distinct signatures, best-effort past that (the batch
+    * explodes to its band keys; per-band keyed state holds the first
+    * [[SigCap]] distinct FULL 64-bit signatures seen for the value, and
+    * every later doc sharing the band gets a VERIFIED Hamming distance
+    * against all of them (an unverified shared-band key would
+    * false-suppress at the 2^-width collision rate — fatal at stream
+    * scale). Any pair within the radius shares at least one whole band
+    * (Manku WWW'07), so in-horizon recall at the radius holds whenever the
+    * earlier doc's signature is among the ≤ SigCap stored for some shared
+    * band value — i.e. guaranteed until a band value has seen more than
+    * SigCap distinct signatures, best-effort past that (the batch
     * simhashPairs pass is the completeness backstop — complete at the
     * radius except inside its own `bucketCap`-capped hot buckets).
+    *
+    * Band geometry (`blocks`): the default −1 keeps the minimal
+    * maxHamming+1 single-block layout ([[Hashing.simhashBandKeys]] —
+    * restart-compatible with existing checkpoints). A deployment whose
+    * in-horizon doc count drives ⌊64/(r+1)⌋-bit band values hot (random
+    * collisions grow as n²/2^width, saturating SigCap and degrading recall
+    * to best-effort) passes the SOLVED m from
+    * [[graft.ops.Dedup.solveSimhashBlocks]](expected in-horizon docs, r) —
+    * e.g. m=5 at radius 3 to ~10^9 docs: C(5,2)=10 tables of ~25-bit keys,
+    * collapsing random band collisions by ~2^12 for a 2.5× state fan-out,
+    * the same cost/recall geometry the batch twin solves per run. Changing
+    * `blocks` re-keys the state: start a fresh checkpoint.
     *
     * All band rows of a doc land in the SAME micro-batch, so the per-doc
     * verdict is a plain per-batch vote — [[keptDocs]] inside `foreachBatch`
@@ -171,11 +205,15 @@ object StreamDedup {
     * cross-horizon dedup. */
   def nearDupVerdicts(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", tsCol: String = "warc_ts",
-      horizonMs: Long = 24L * 3600 * 1000, maxHamming: Int = 3): Dataset[BandVerdict] = {
+      horizonMs: Long = 24L * 3600 * 1000, maxHamming: Int = 3,
+      blocks: Int = -1): Dataset[BandVerdict] = {
     require(maxHamming >= 1 && maxHamming < 64, "radius-0 is simhashDedup's job")
+    require(blocks < 0 || (blocks > maxHamming && blocks <= 64),
+      "blocks must exceed maxHamming (pigeonhole) and fit 64 bits")
     val spark = docs.sparkSession
     import spark.implicits._
     val bands = maxHamming + 1
+    val m = blocks
     docs
       .select(col(idCol).cast("long").as("docId"), col(tsCol).cast("timestamp").as("ts"),
         col(textCol).as("text"))
@@ -189,7 +227,10 @@ object StreamDedup {
           Iterator.single(BandRow(docId, ts, fp, -1, fp))
         } else {
           val sim = Hashing.simhash(features)
-          Hashing.simhashBandKeys(sim, bands).iterator.zipWithIndex.map {
+          val keys =
+            if (m <= bands) Hashing.simhashBandKeys(sim, bands)
+            else subsetKeys(sim, m, maxHamming)
+          keys.iterator.zipWithIndex.map {
             case (key, b) => BandRow(docId, ts, sim, b, key)
           }
         }

@@ -200,6 +200,72 @@ class StreamNearDupSpec extends SparkSpec {
     assert(kept2 === Set(1L, 2L, 4L), s"got $kept2")
   }
 
+  test("solved m>r+1 geometry (blocks=5): near-dup suppressed across restarts, " +
+      "fresh docs kept — the batch solveSimhashBlocks layout in keyed state") {
+    import java.nio.file.Files
+    import spark.implicits._
+    import graft.ops.Hashing
+    import graft.streaming.StreamDedup
+
+    val root = Files.createTempDirectory("graft-neardup-m5").toString
+    val inDir = s"$root/in"
+    val keptDir = s"$root/kept"
+    val ckpt = s"$root/ckpt"
+    val maxHamming = 3
+    val blocks = 5 // C(5,2)=10 tables of ~25-bit keys — the ~10^9-doc solve
+
+    val base = ("the quick brown fox jumps over the lazy dog while spark " +
+      "catalyst plans tungsten codegen shuffles partitions broadcasts ") * 3 +
+      "unique closing sentence with several distinct tokens here"
+    val simBase = Hashing.simhashText(base)
+    val nearDup = ('a' to 'z').map(c => base.dropRight(1) + c)
+      .find { t =>
+        val h = java.lang.Long.bitCount(simBase ^ Hashing.simhashText(t))
+        h >= 1 && h <= maxHamming
+      }
+    assert(nearDup.isDefined, "no candidate edit landed within the radius")
+
+    // geometry sanity: a radius-3 pair must share >= 1 of the 10 subset keys
+    // (pigeonhole over 5 blocks), and the fan-out is exactly C(5,2)
+    val k1 = StreamDedup.subsetKeys(simBase, blocks, maxHamming)
+    val k2 = StreamDedup.subsetKeys(Hashing.simhashText(nearDup.get), blocks, maxHamming)
+    assert(k1.length === 10 && k2.length === 10)
+    assert(k1.zip(k2).exists { case (a, b) => a == b },
+      "an in-radius pair must collide in at least one solved-geometry table")
+
+    def docs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .withColumn("warc_ts", (lit(1767225600L) + col("doc_id")).cast("timestamp"))
+    val schema = docs(Seq((0L, ""))).schema
+
+    def runOnce(): Unit = {
+      val q = StreamDedup.nearDupVerdicts(
+          spark.readStream.schema(schema).parquet(inDir),
+          maxHamming = maxHamming, blocks = blocks)
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[StreamDedup.BandVerdict], _: Long) =>
+            StreamDedup.keptDocs(batch.toDF(), maxHamming)
+              .write.mode("append").parquet(keptDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    docs(Seq((1L, base), (2L, "completely unrelated content about monoids " +
+      "functors and lenses " * 4))).write.parquet(inDir)
+    runOnce()
+    assert(spark.read.parquet(keptDir).as[Long].collect().toSet === Set(1L, 2L))
+
+    // restart: the near-dup is suppressed by CHECKPOINTED solved-geometry
+    // state; a fresh doc passes — restart parity at m > r+1
+    docs(Seq((3L, nearDup.get), (4L, "fresh novel text about entirely new things " * 4)))
+      .write.mode("append").parquet(inDir)
+    runOnce()
+    val kept2 = spark.read.parquet(keptDir).as[Long].collect().toSet
+    assert(kept2 === Set(1L, 2L, 4L), s"got $kept2")
+  }
+
   test("band state is EVICTED once the watermark passes the horizon " +
       "(documented cross-horizon trade: the late copy is kept)") {
     import java.nio.file.Files
