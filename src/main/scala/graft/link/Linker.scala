@@ -89,25 +89,44 @@ object Linker {
     require(bands >= 1 && k % bands == 0,
       s"minhash lanes k=$k must be a positive multiple of bands=$bands " +
         "(otherwise band keys degenerate or lanes are silently ignored)")
-    // persisted: the size aggregation and the size-attach join below each
-    // read the fan-out, which would otherwise re-shingle + re-minhash every
-    // surface twice (the same fix as the Dedup LSH signature tables)
+    // persisted: the bucket-size probe and the pairing both read the
+    // fan-out, which would otherwise re-shingle + re-minhash every surface
+    // per consumer (the same fix as the Dedup LSH signature tables)
     val banded = surf.flatMap { sk =>
       bandKeysOf(sk.norm, k, bands, shingleN).map(key => (key, sk.id, sk.norm))
     }.toDF("bucket", "id", "norm").persist()
 
-    // bucket sizes via hash-agg + join (no global sort over the skewed key);
-    // persisted: the small/big split and the (eager) hot-bucket ranking all
-    // reuse one evaluation of the upstream surfaces pipeline
-    val sizes = banded.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
-    val sized = banded.join(sizes, "bucket").persist()
-    val small = sized.filter(col("bucket_n") <= bucketCap)
-    val big = sized.filter(col("bucket_n") > bucketCap)
+    // HOT bucket list as a BOUNDED driver collect (the Dedup.splitHotBuckets
+    // discipline): the small/hot split becomes a broadcast filter instead of
+    // a size-attach join over the whole fan-out, and the hot-path probe is a
+    // driver-side emptiness check instead of an executeTake job
+    val hotLimit = 2000000
+    val hot = banded.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > bucketCap).select("bucket")
+      .limit(hotLimit + 1).as[Long].collect()
+    require(hot.length <= hotLimit,
+      s"over $hotLimit hot band values (cap $bucketCap) — pathological " +
+        "banding; raise bucketCap or re-key")
+    val hotDf = spark.createDataset(hot.toSeq).toDF("bucket")
+    val small =
+      if (hot.isEmpty) banded
+      else banded.join(broadcast(hotDf), Seq("bucket"), "left_anti")
 
-    val smallPairs = small.as("a").join(small.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("src"), col("b.id").as("dst"),
-        col("a.norm").as("norm_a"), col("b.norm").as("norm_b"))
+    // small-bucket pairs via ONE grouped aggregation (member lists bounded
+    // by bucketCap) instead of the size-attach join + sort-merge self-join;
+    // pair multiset identical to the a.id < b.id join
+    val smallPairs = small
+      .groupBy("bucket")
+      .agg(collect_list(struct(col("id"), col("norm"))).as("ms"))
+      .select(col("ms")).as[Seq[(Long, String)]]
+      .flatMap { ms =>
+        val a = ms.toArray.sortBy(_._1)
+        for {
+          i <- (0 until a.length - 1).iterator
+          j <- (i + 1 until a.length).iterator
+          if a(i)._1 != a(j)._1 // equal-id copies never self-pair
+        } yield (a(i)._1, a(j)._1, a(i)._2, a(j)._2)
+      }.toDF("src", "dst", "norm_a", "norm_b")
 
     // sorted-neighborhood inside hot buckets: rank by (norm, id), pair with
     // the next `neighborWindow` ranks only. The rank itself is computed with
@@ -115,9 +134,10 @@ object Linker {
     // per-bucket window would place the entire oversized bucket on ONE task
     // (e.g. a billion empty-string norms sorting on one core)
     val bigPairs =
-      if (big.isEmpty) smallPairs.limit(0) // cached probe; skip the eager rank jobs
+      if (hot.isEmpty) smallPairs.limit(0) // driver-side probe; no rank jobs
       else graft.ops.Neighborhood.sortedNeighborhoodPairs(
-          big.select(col("bucket"), col("id"), col("norm").as("sort")), neighborWindow)
+          banded.join(broadcast(hotDf), Seq("bucket"), "left_semi")
+            .select(col("bucket"), col("id"), col("norm").as("sort")), neighborWindow)
         .select(col("src"), col("dst"),
           col("sort_a").as("norm_a"), col("sort_b").as("norm_b"))
 
@@ -129,7 +149,7 @@ object Linker {
           Hashing.charShingles(na, shingleN), Hashing.charShingles(nb, shingleN))
         if (j >= threshold) Some((src, dst)) else None
       }.toDF("src", "dst")
-    (edges, () => { sized.unpersist(); banded.unpersist(): Unit })
+    (edges, () => { banded.unpersist(): Unit })
   }
 
   /** surface → (canonical id, canonical surface). Canonical surface is the
