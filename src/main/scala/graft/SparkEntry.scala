@@ -428,9 +428,12 @@ object SparkEntry {
       val work = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get(processScratchRoot), "linkinc").toString
       val docs = Corpus.pages(s, 120, seed = 42, noisyFrac = 0.0).toDF()
-      val triples = Extract.triples(docs)
-      val batch1 = triples.filter(xxhash64(col("url")) % 2 === 0).toDF()
-      val batch2 = triples.filter(xxhash64(col("url")) % 2 =!= 0).toDF()
+      // checkpoint BEFORE splitting (the link_compaction discipline): the
+      // url filter cannot push below the opaque kernel barrier, so without
+      // it each batch's processBatch checkpoint re-runs the full extraction
+      val triples = Extract.triples(docs).toDF().localCheckpoint()
+      val batch1 = triples.filter(xxhash64(col("url")) % 2 === 0)
+      val batch2 = triples.filter(xxhash64(col("url")) % 2 =!= 0)
       graft.streaming.StreamLink.processBatch(batch1, work, batchId = 0)
       graft.streaming.StreamLink.processBatch(batch2, work, batchId = 1)
       val res = graft.streaming.StreamLink.readResolution(s, work)
@@ -580,6 +583,10 @@ object SparkEntry {
       // acc = matched spans / samples (rows-only: kernel op)
       val pages = Corpus.pages(s, 200, seed = 42, noisyFrac = 0.0).toDF()
       val gold = Corpus.gold(s, 200, seed = 42, noisyFrac = 0.0)
+      // cache + count, NOT an Observation riding the collect: measured
+      // r7 (4-pass min, same window) — observe() read 3.19 s vs 2.59 s for
+      // this form; the CollectMetrics node costs more than the extra
+      // cached-count action saves at this scale
       val samples = EvalRun.evalSamples(pages, gold).cache()
       val n = samples.count()
       val m = Metrics.macroScores(Metrics.computePerformance(samples), n)(s)

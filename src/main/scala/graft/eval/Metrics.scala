@@ -37,16 +37,25 @@ object Metrics {
   private val tripleKey = Seq("url", "subjectType", "subject", "relation", "objectType", "obj")
 
   /** Triple-set precision/recall/F1, keyed by stable url (never positional —
-    * J5, SURVEY.md §2.4). */
+    * J5, SURVEY.md §2.4).
+    *
+    * All three counts ride ONE action: `g` is distinct on the FULL key, so a
+    * left join multiplies no `p` row — count(*) over the join is |p| and
+    * count(match marker) is exactly the left-semi hit count (null-keyed rows
+    * match in neither formulation); |g| cross-joins in as a 1-row aggregate.
+    * Three separate counts would re-evaluate the (kernel-bearing) pred plan
+    * per action unless the caller caches it. */
   def tripleSetPR(pred: Dataset[Triple], gold: Dataset[GoldTriple]): (Double, Double, Double) = {
     val p = pred.toDF().select(tripleKey.map(col): _*).distinct()
     val g = gold.toDF()
       .select(col("url"), col("subjectType"), col("subject"), col("relation"),
         col("objectType"), col("obj"))
       .distinct()
-    val nPred = p.count().toDouble
-    val nGold = g.count().toDouble
-    val hit = p.join(g, tripleKey, "left_semi").count().toDouble
+    val r = p.join(g.withColumn("_g", lit(1)), tripleKey, "left")
+      .agg(count(lit(1)).as("n_pred"), count(col("_g")).as("hit"))
+      .crossJoin(g.agg(count(lit(1)).as("n_gold")))
+      .head()
+    val (nPred, hit, nGold) = (r.getLong(0).toDouble, r.getLong(1).toDouble, r.getLong(2).toDouble)
     val prec = if (nPred > 0) hit / nPred else 0.0
     val rec = if (nGold > 0) hit / nGold else 0.0
     val f1 = if (prec + rec > 0) 2 * prec * rec / (prec + rec) else 0.0
@@ -63,8 +72,13 @@ object Metrics {
     val g = gold.toDF().select(col("url"), col("subjectType"), col("subject"),
       col("relation"), col("objectType"), col("obj"))
     val misses = p.join(g, tripleKey, "left_anti").select("url").distinct()
-    val total = docUrls.select("url").distinct().count().toDouble
-    val missed = misses.count().toDouble
+    // both counts in ONE action (1-row aggregates cross-joined); distinct()
+    // before count — not countDistinct — keeps the null-url row accounting
+    // byte-identical to the original two-action form
+    val r = misses.agg(count(lit(1)).as("missed"))
+      .crossJoin(docUrls.select("url").distinct().agg(count(lit(1)).as("total")))
+      .head()
+    val (missed, total) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
     if (total > 0) (total - missed) / total else 0.0
   }
 
