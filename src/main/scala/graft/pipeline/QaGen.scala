@@ -34,7 +34,13 @@ object QaGen {
     // (data/data_utils.py:491); gold for gated-out docs is dropped with them
     val ctx = pages.filter(length(col("text")) < maxSeq - 20)
       .select(col("url"), col("text").as("context"))
+    // ONE url-keyed exchange feeds every downstream clustering: hash(url)
+    // satisfies the grouped aggregations on (url, subjectType[, relation]),
+    // the negative anti-join, and both url-partitioned windows (partitioning
+    // expressions ⊆ clustering keys), so none of them re-shuffles — without
+    // this the plan carried four key-specific exchanges over the gold rows
     val g = gold.toDF().join(ctx.select("url"), Seq("url"), "left_semi")
+      .repartition(col("url"))
 
     // subject type -> question / tag id dims (broadcast closure constants)
     val subjQ = Ontology.subject2question.map { case (t, q) =>
